@@ -1,13 +1,247 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core._
+import graft.index._
+import graft.search._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-process cache of built indexes, keyed by testdata dir. */
+object Indexes {
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, InvertedIndex]
+
+  def documentsIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").as("docId"), col("text"))
+        .as[InputDoc]
+      IndexBuilder.build(docs, dir, IndexConfig(SimpleAnalyzer, withPositions = true))
+    })
+
+  def searcher(spark: SparkSession, sfDir: String): Searcher =
+    new Searcher(documentsIndex(spark, sfDir), ScoringMode.PreciseBM25())
+}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query both exercises the real engine (inverted-index build + BM25
+  * search over compressed postings) and has an ANSI-SQL oracle that DuckDB
+  * can evaluate directly on the same `documents` parquet. Scores are emitted
+  * in [[ScoringMode.PreciseBM25]] (double, exact doc lengths) rounded to 6
+  * decimals; ordering uses the unrounded score with docId tiebreak in both
+  * systems.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_term_bm25")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------ Spark side
+
+  private def docsTable(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private def topk(df: DataFrame, k: Int): DataFrame =
+    df.orderBy(desc("score"), asc("docId")).limit(k)
+      .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+
+  private def docSet(df: DataFrame): DataFrame =
+    df.select(col("docId").as("doc_id")).orderBy("doc_id")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_term_bm25" -> ((s, dir) => {
+      topk(Indexes.searcher(s, dir).search(TermQuery("spark"), 10), 10)
+    }),
+    "q02_bool_and" -> ((s, dir) => {
+      topk(Indexes.searcher(s, dir).scored(BooleanQuery.must(TermQuery("data"), TermQuery("filter"))), 10)
+    }),
+    "q03_bool_or_msm" -> ((s, dir) => {
+      topk(Indexes.searcher(s, dir).scored(
+        BooleanQuery(Seq(Occur.SHOULD -> TermQuery("vector"), Occur.SHOULD -> TermQuery("stream"),
+          Occur.SHOULD -> TermQuery("dup")), minimumShouldMatch = 2)), 10)
+    }),
+    "q04_bool_not" -> ((s, dir) => {
+      topk(Indexes.searcher(s, dir).scored(BooleanQuery(Seq(
+        Occur.MUST -> TermQuery("dup"), Occur.MUST_NOT -> TermQuery("spark")))), 10)
+    }),
+    "q05_phrase" -> ((s, dir) => {
+      topk(Indexes.searcher(s, dir).scored(PhraseQuery(Seq("batch", "batch"))), 10)
+    }),
+    "q06_prefix" -> ((s, dir) => {
+      docSet(Indexes.searcher(s, dir).scored(PrefixQuery("st")))
+    }),
+    "q07_term_range" -> ((s, dir) => {
+      docSet(Indexes.searcher(s, dir).scored(TermRangeQuery(Some("agg"), Some("batch"), true, true)))
+    }),
+    "q08_dismax" -> ((s, dir) => {
+      topk(Indexes.searcher(s, dir).scored(
+        DisjunctionMaxQuery(Seq(TermQuery("dup"), TermQuery("line")), tieBreaker = 0.5f)), 10)
+    }),
+    "q09_term_stats" -> ((s, dir) => {
+      Indexes.documentsIndex(s, dir).termStats
+        .filter(col("term").isin("spark", "data", "dup", "the"))
+        .select(col("term"), col("df").cast("long").as("df"), col("ttf").cast("long").as("ttf"))
+        .orderBy("term")
+    }),
+    "q10_facet_lang" -> ((s, dir) => {
+      val sr = Indexes.searcher(s, dir)
+      Facets.stringCounts(sr.scored(TermQuery("dup")), docsTable(s, dir), "doc_id", "lang")
+        .orderBy("lang")
+    }),
+    "q11_group_heads" -> ((s, dir) => {
+      val sr = Indexes.searcher(s, dir)
+      Grouping.groupHeads(sr.scored(TermQuery("dup")), docsTable(s, dir), "doc_id", "source")
+        .select(col("source"), col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("source")
+    }),
+    "q12_search_after" -> ((s, dir) => {
+      val sr = Indexes.searcher(s, dir)
+      val page1 = sr.search(TermQuery("spark"), 10).collect()
+      val anchor = page1.last
+      sr.searchAfter(TermQuery("spark"), 10, anchor.getDouble(1), anchor.getLong(0))
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+    }),
+    "q13_count" -> ((s, dir) => {
+      val n = Indexes.searcher(s, dir).count(
+        BooleanQuery.should(TermQuery("dup"), TermQuery("vector")))
+      s.range(1).select(lit(n).as("n"))
+    }),
+    "q14_fuzzy" -> ((s, dir) => {
+      docSet(Indexes.searcher(s, dir).scored(FuzzyQuery("spark", 2)))
+    }),
+    "q15_synonym" -> ((s, dir) => {
+      topk(Indexes.searcher(s, dir).scored(SynonymQuery(Seq("fast", "slow"))), 10)
+    })
+  )
+
+  // ----------------------------------------------------------- oracle SQL
+
+  /** Shared CTE prefix: tokenize `documents` exactly like [[SimpleAnalyzer]]
+    * (lowercase, maximal `[a-z0-9]+` runs, 0-based positions over kept
+    * tokens), then doc lengths and collection stats. */
+  private val CTE: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+      |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+      |  FROM raw WHERE term <> ''
+      |), dl AS (
+      |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+      |), stats AS (
+      |  SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+      |)""".stripMargin
+
+  /** idf exactly as the engine computes it: ln(1 + (N - df + 0.5)/(df + 0.5))
+    * with explicit double casts so DuckDB does not use decimal arithmetic. */
+  private def idfSql(dfExpr: String): String =
+    s"ln(1 + ((SELECT n FROM stats) - $dfExpr + 0.5)::DOUBLE / ($dfExpr + 0.5)::DOUBLE)"
+
+  /** BM25 tf normalization — identical operation order to the Scala scorer. */
+  private def tfNormSql(freqExpr: String, dlExpr: String): String =
+    s"($freqExpr / ($freqExpr + 1.2 * (1 - 0.75 + 0.75 * $dlExpr / (SELECT avgdl FROM stats))))"
+
+  /** Per-term scored subquery: SELECT doc_id, score for one term. */
+  private def termScoreSql(term: String): String =
+    s"""SELECT tf.doc_id AS doc_id,
+       |  ${idfSql(s"(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = '$term'))")}
+       |  * ${tfNormSql("tf.freq", "dl.dl")} AS score
+       |FROM (SELECT doc_id, count(*) AS freq FROM toks WHERE term = '$term' GROUP BY doc_id) tf
+       |JOIN dl ON tf.doc_id = dl.doc_id""".stripMargin
+
+  private def topkSql(scoredSql: String, k: Int): String =
+    s"""$CTE
+       |SELECT doc_id, round(score, 6) AS score FROM ($scoredSql) scored
+       |ORDER BY scored.score DESC, doc_id LIMIT $k""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_term_bm25" -> topkSql(termScoreSql("spark"), 10),
+
+    "q02_bool_and" -> topkSql(
+      s"""SELECT a.doc_id, a.score + b.score AS score
+         |FROM (${termScoreSql("data")}) a JOIN (${termScoreSql("filter")}) b ON a.doc_id = b.doc_id""".stripMargin, 10),
+
+    "q03_bool_or_msm" -> topkSql(
+      s"""SELECT doc_id, sum(score) AS score FROM (
+         |  ${termScoreSql("vector")} UNION ALL ${termScoreSql("stream")} UNION ALL ${termScoreSql("dup")}
+         |) u GROUP BY doc_id HAVING count(*) >= 2""".stripMargin, 10),
+
+    "q04_bool_not" -> topkSql(
+      s"""SELECT doc_id, score FROM (${termScoreSql("dup")}) a
+         |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')""".stripMargin, 10),
+
+    "q05_phrase" -> topkSql(
+      s"""SELECT pf.doc_id,
+         |  (${idfSql("(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'batch'))")}
+         |   + ${idfSql("(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'batch'))")})
+         |  * ${tfNormSql("pf.freq", "dl.dl")} AS score
+         |FROM (
+         |  SELECT a.doc_id, count(*) AS freq
+         |  FROM (SELECT doc_id, pos FROM toks WHERE term = 'batch') a
+         |  JOIN (SELECT doc_id, pos FROM toks WHERE term = 'batch') b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  GROUP BY a.doc_id
+         |) pf JOIN dl ON pf.doc_id = dl.doc_id""".stripMargin, 10),
+
+    "q06_prefix" ->
+      s"""$CTE
+         |SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'st%' ORDER BY doc_id""".stripMargin,
+
+    "q07_term_range" ->
+      s"""$CTE
+         |SELECT DISTINCT doc_id FROM toks WHERE term >= 'agg' AND term <= 'batch' ORDER BY doc_id""".stripMargin,
+
+    "q08_dismax" -> topkSql(
+      s"""SELECT doc_id, max(score) + 0.5 * (sum(score) - max(score)) AS score FROM (
+         |  ${termScoreSql("dup")} UNION ALL ${termScoreSql("line")}
+         |) u GROUP BY doc_id""".stripMargin, 10),
+
+    "q09_term_stats" ->
+      s"""$CTE
+         |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf FROM toks
+         |WHERE term IN ('spark', 'data', 'dup', 'the') GROUP BY term ORDER BY term""".stripMargin,
+
+    "q10_facet_lang" ->
+      s"""$CTE
+         |SELECT d.lang AS lang, count(*) AS cnt
+         |FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup') m
+         |JOIN documents d ON m.doc_id = d.doc_id GROUP BY d.lang ORDER BY lang""".stripMargin,
+
+    "q11_group_heads" ->
+      s"""$CTE
+         |SELECT source, doc_id, round(score, 6) AS score FROM (
+         |  SELECT d.source AS source, sc.doc_id AS doc_id, sc.score AS score,
+         |         row_number() OVER (PARTITION BY d.source ORDER BY sc.score DESC, sc.doc_id) AS rn
+         |  FROM (${termScoreSql("dup")}) sc JOIN documents d ON sc.doc_id = d.doc_id
+         |) ranked WHERE rn = 1 ORDER BY source""".stripMargin,
+
+    "q12_search_after" ->
+      s"""$CTE
+         |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("spark")}) scored
+         |ORDER BY scored.score DESC, doc_id OFFSET 10 LIMIT 10""".stripMargin,
+
+    "q13_count" ->
+      s"""$CTE
+         |SELECT count(*) AS n FROM (
+         |  SELECT DISTINCT doc_id FROM toks WHERE term IN ('dup', 'vector'))""".stripMargin,
+
+    "q14_fuzzy" ->
+      s"""$CTE
+         |SELECT DISTINCT doc_id FROM toks
+         |WHERE levenshtein(term, 'spark') <= 2 ORDER BY doc_id""".stripMargin,
+
+    "q15_synonym" -> topkSql(
+      s"""SELECT tf.doc_id AS doc_id,
+         |  ${idfSql(
+             "greatest((SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'fast')), " +
+             "(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'slow')))")}
+         |  * ${tfNormSql("tf.freq", "dl.dl")} AS score
+         |FROM (SELECT doc_id, count(*) AS freq FROM toks WHERE term IN ('fast', 'slow') GROUP BY doc_id) tf
+         |JOIN dl ON tf.doc_id = dl.doc_id""".stripMargin, 10)
+  )
 }

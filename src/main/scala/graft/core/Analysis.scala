@@ -1,0 +1,177 @@
+package graft.core
+
+/** Analysis chain: text → token stream, re-expressing the reference's
+  * `Analyzer`/`TokenStream` consumer protocol
+  * (`lucene/core/src/java/org/apache/lucene/analysis/Analyzer.java:153`) as a
+  * pure `String => IndexedSeq[Token]` usable inside typed Dataset transforms.
+  *
+  * Position semantics follow the reference: stop-word removal advances the
+  * position increment, so phrase positions skip over removed tokens
+  * (`lucene/core/src/java/org/apache/lucene/analysis/StopFilter.java:25`).
+  */
+final case class Token(term: String, position: Int)
+
+trait Analyzer extends Serializable {
+  def tokenize(text: String): IndexedSeq[Token]
+  /** name used to select the analyzer when reopening an index */
+  def name: String
+}
+
+object Analyzers {
+  def byName(name: String): Analyzer = name match {
+    case "simple"   => SimpleAnalyzer
+    case "standard" => StandardLikeAnalyzer()
+    case other      => throw new IllegalArgumentException(s"unknown analyzer: $other")
+  }
+}
+
+/** Lowercase + maximal runs of ASCII letters/digits. Deliberately expressible
+  * in ANSI SQL (`regexp_split` on `[^a-z0-9]+` after `lower()`), so DuckDB can
+  * act as a correctness oracle for every query operator built on top.
+  */
+object SimpleAnalyzer extends Analyzer {
+  override val name = "simple"
+  override def tokenize(text: String): IndexedSeq[Token] = {
+    val out = Vector.newBuilder[Token]
+    val lower = text.toLowerCase
+    val n = lower.length
+    var i = 0
+    var pos = 0
+    while (i < n) {
+      val c = lower.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val start = i
+        while (i < n && { val d = lower.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9') }) i += 1
+        out += Token(lower.substring(start, i), pos)
+        pos += 1
+      } else i += 1
+    }
+    out.result()
+  }
+}
+
+/** UAX#29-style word segmentation via the JDK's `java.text.BreakIterator`
+  * (which implements Unicode word break rules), then lowercase, then an
+  * optional stop set — the shape of the reference's `StandardAnalyzer`
+  * (`lucene/core/src/java/org/apache/lucene/analysis/standard/StandardAnalyzer.java:37`,
+  * default stop set EMPTY per `StandardAnalyzer.java:51-53`).
+  * Tokens longer than `maxTokenLength` (default 255, reference
+  * `StandardTokenizer.java:84`) are split.
+  */
+final case class StandardLikeAnalyzer(
+    stopWords: Set[String] = Set.empty,
+    maxTokenLength: Int = 255) extends Analyzer {
+  override val name = "standard"
+
+  override def tokenize(text: String): IndexedSeq[Token] = {
+    val out = Vector.newBuilder[Token]
+    val it = java.text.BreakIterator.getWordInstance(java.util.Locale.ROOT)
+    it.setText(text)
+    var start = it.first()
+    var end = it.next()
+    var pos = 0
+    while (end != java.text.BreakIterator.DONE) {
+      if (isWord(text, start, end)) {
+        var s = start
+        while (s < end) { // split over-long tokens like the reference
+          val e = math.min(s + maxTokenLength, end)
+          val term = text.substring(s, e).toLowerCase(java.util.Locale.ROOT)
+          if (stopWords.contains(term)) {
+            pos += 1 // stop filter: drop token, keep the position increment
+          } else {
+            out += Token(term, pos)
+            pos += 1
+          }
+          s = e
+        }
+      }
+      start = end
+      end = it.next()
+    }
+    out.result()
+  }
+
+  /** A boundary-delimited region is a word if it contains a letter or digit. */
+  private def isWord(text: String, start: Int, end: Int): Boolean = {
+    var i = start
+    while (i < end) {
+      val cp = text.codePointAt(i)
+      if (Character.isLetterOrDigit(cp)) return true
+      i += Character.charCount(cp)
+    }
+    false
+  }
+}
+
+/** Minimal HTML→text extraction: drops tags (including full
+  * script/style/comment bodies), decodes the common named + numeric entities,
+  * and collapses nothing else — the behavioral contract of the reference's
+  * `HTMLStripCharFilter`
+  * (`lucene/analysis/common/src/java/org/apache/lucene/analysis/charfilter/HTMLStripCharFilter.java:39`)
+  * restricted to the synthetic corpus's well-formed markup (FIXTURES.md §1:
+  * the per-row invariant is strip(html) == text exactly).
+  */
+object HtmlStrip extends Serializable {
+  private val entities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ")
+
+  def apply(html: String): String = {
+    val out = new java.lang.StringBuilder(html.length)
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val close = html.indexOf("-->", i + 4)
+          i = if (close < 0) n else close + 3
+        } else if (startsWithIgnoreCase(html, i + 1, "script") || startsWithIgnoreCase(html, i + 1, "style")) {
+          val tag = if (startsWithIgnoreCase(html, i + 1, "script")) "script" else "style"
+          val close = indexOfIgnoreCase(html, "</" + tag, i)
+          i = if (close < 0) n else {
+            val gt = html.indexOf('>', close)
+            if (gt < 0) n else gt + 1
+          }
+        } else {
+          val close = html.indexOf('>', i)
+          i = if (close < 0) n else close + 1
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i)
+        if (semi > i && semi - i <= 10) {
+          val name = html.substring(i + 1, semi)
+          val decoded =
+            if (name.startsWith("#x") || name.startsWith("#X"))
+              try Some(new String(Character.toChars(Integer.parseInt(name.substring(2), 16))))
+              catch { case _: Exception => None }
+            else if (name.startsWith("#"))
+              try Some(new String(Character.toChars(Integer.parseInt(name.substring(1)))))
+              catch { case _: Exception => None }
+            else entities.get(name)
+          decoded match {
+            case Some(s) => out.append(s); i = semi + 1
+            case None    => out.append(c); i += 1
+          }
+        } else { out.append(c); i += 1 }
+      } else {
+        out.append(c)
+        i += 1
+      }
+    }
+    out.toString
+  }
+
+  private def startsWithIgnoreCase(s: String, off: Int, prefix: String): Boolean =
+    s.regionMatches(true, off, prefix, 0, prefix.length)
+
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    var i = from
+    val max = s.length - needle.length
+    while (i <= max) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+}

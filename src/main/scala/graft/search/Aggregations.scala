@@ -1,0 +1,97 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Facet counting over a matched doc set — the reference's facets module
+  * re-expressed as relational aggregation (SURVEY.md §2.7).
+  *
+  * `matched` is any `(docId, score)` frame produced by [[Searcher]];
+  * `corpus` is the source table carrying the facet dimensions, keyed by
+  * `docIdCol`.
+  */
+object Facets {
+
+  /** Counts per flat string dimension — `SortedSetDocValuesFacetCounts`
+    * (`lucene/facet/src/java/org/apache/lucene/facet/sortedset/SortedSetDocValuesFacetCounts.java:58`). */
+  def stringCounts(matched: DataFrame, corpus: DataFrame, docIdCol: String, dim: String): DataFrame =
+    matched.select(col("docId"))
+      .join(corpus, col("docId") === corpus(docIdCol))
+      .groupBy(col(dim)).agg(count(lit(1)).as("cnt"))
+
+  /** Counts per numeric range bucket — `LongRangeFacetCounts`
+    * (`lucene/facet/src/java/org/apache/lucene/facet/range/LongRangeFacetCounts.java:41`). */
+  def rangeCounts(matched: DataFrame, corpus: DataFrame, docIdCol: String,
+                  valueCol: String, bucketWidth: Long): DataFrame =
+    matched.select(col("docId"))
+      .join(corpus, col("docId") === corpus(docIdCol))
+      .groupBy(floor(col(valueCol) / lit(bucketWidth)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Distinct value count per group — `DistinctValuesCollector`. */
+  def distinctCounts(matched: DataFrame, corpus: DataFrame, docIdCol: String,
+                     groupDim: String, valueDim: String): DataFrame =
+    matched.select(col("docId"))
+      .join(corpus, col("docId") === corpus(docIdCol))
+      .groupBy(col(groupDim)).agg(countDistinct(col(valueDim)).as("ndv"))
+}
+
+/** Grouping: top-k docs per group and group heads — the reference's grouping
+  * module (`lucene/grouping/src/java/org/apache/lucene/search/grouping/GroupingSearch.java:42`)
+  * as window functions (SURVEY.md §2.8).
+  */
+object Grouping {
+
+  /** Top-k scored docs within each group, ranked (score desc, docId asc). */
+  def topKPerGroup(matched: DataFrame, corpus: DataFrame, docIdCol: String,
+                   groupDim: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupDim)).orderBy(desc("score"), asc("docId"))
+    matched
+      .join(corpus, col("docId") === corpus(docIdCol))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(groupDim), col("docId"), col("score"), col("rank"))
+  }
+
+  /** Best doc per group — `AllGroupHeadsCollector`. */
+  def groupHeads(matched: DataFrame, corpus: DataFrame, docIdCol: String, groupDim: String): DataFrame =
+    topKPerGroup(matched, corpus, docIdCol, groupDim, 1).drop("rank")
+}
+
+/** Query-time join — the reference's `JoinUtil.createJoinQuery`
+  * (`lucene/join/src/java/org/apache/lucene/search/join/JoinUtil.java:56`):
+  * collect the join-field values of docs matching a "from" query, then match
+  * "to"-side rows, optionally aggregating scores (max/sum/avg).
+  */
+object JoinUtil {
+
+  /** Semi-join flavor (ScoreMode.None): to-side rows whose `toField` appears
+    * among from-side matches. */
+  def semiJoin(fromMatched: DataFrame, fromCorpus: DataFrame, fromIdCol: String,
+               fromField: String, toCorpus: DataFrame, toField: String): DataFrame = {
+    val keys = fromMatched.select(col("docId"))
+      .join(fromCorpus, col("docId") === fromCorpus(fromIdCol))
+      .select(col(fromField).as("joinKey")).distinct()
+    toCorpus.join(keys, toCorpus(toField) === col("joinKey"), "left_semi")
+  }
+
+  /** Scored flavor: to-side rows with the aggregated (max/sum/avg) score of
+    * the from-side matches sharing the join key. */
+  def scoredJoin(fromMatched: DataFrame, fromCorpus: DataFrame, fromIdCol: String,
+                 fromField: String, toCorpus: DataFrame, toField: String,
+                 scoreMode: String): DataFrame = {
+    val aggFn = scoreMode match {
+      case "max" => max(col("score"))
+      case "sum" => sum(col("score"))
+      case "avg" => avg(col("score"))
+      case other => throw new IllegalArgumentException(s"scoreMode: $other")
+    }
+    val keyScores = fromMatched
+      .join(fromCorpus, col("docId") === fromCorpus(fromIdCol))
+      .groupBy(col(fromField).as("joinKey"))
+      .agg(aggFn.as("joinScore"))
+    toCorpus.join(keyScores, toCorpus(toField) === col("joinKey"), "inner")
+      .drop("joinKey")
+  }
+}

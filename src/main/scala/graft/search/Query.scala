@@ -1,0 +1,126 @@
+package graft.search
+
+/** Logical query AST — the operator surface of the reference's `Query`
+  * hierarchy (SURVEY.md §2.4/§2.5), minus execution details: compilation to
+  * DataFrame plans happens in [[Searcher]].
+  */
+sealed trait Query
+
+/** Exact term match, scored. Reference: `lucene/core/src/java/org/apache/lucene/search/TermQuery.java:39`. */
+final case class TermQuery(term: String) extends Query
+
+/** Several terms scored as if they were one term (summed tf, max df).
+  * Reference: `lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java:54`. */
+final case class SynonymQuery(terms: Seq[String]) extends Query
+
+/** Consecutive-position phrase (slop 0 = exact). Reference:
+  * `lucene/core/src/java/org/apache/lucene/search/PhraseQuery.java:71`. */
+final case class PhraseQuery(terms: Seq[String], slop: Int = 0) extends Query
+
+object Occur extends Enumeration {
+  val MUST, SHOULD, MUST_NOT, FILTER = Value
+}
+
+/** Boolean composition. Reference:
+  * `lucene/core/src/java/org/apache/lucene/search/BooleanQuery.java:45-167`. */
+final case class BooleanQuery(
+    clauses: Seq[(Occur.Value, Query)],
+    minimumShouldMatch: Int = 0) extends Query
+
+object BooleanQuery {
+  def must(qs: Query*): BooleanQuery = BooleanQuery(qs.map(Occur.MUST -> _))
+  def should(qs: Query*): BooleanQuery = BooleanQuery(qs.map(Occur.SHOULD -> _))
+}
+
+/** Terms with the given prefix (constant-score rewrite). Reference:
+  * `lucene/core/src/java/org/apache/lucene/search/PrefixQuery.java:29`. */
+final case class PrefixQuery(prefix: String) extends Query
+
+/** Terms in lexicographic range. Reference:
+  * `lucene/core/src/java/org/apache/lucene/search/TermRangeQuery.java:37`. */
+final case class TermRangeQuery(
+    lower: Option[String], upper: Option[String],
+    includeLower: Boolean = true, includeUpper: Boolean = true) extends Query
+
+/** Docs containing any of a term set (semi-join). Reference:
+  * `lucene/core/src/java/org/apache/lucene/search/TermInSetQuery.java:73`. */
+final case class TermInSetQuery(terms: Set[String]) extends Query
+
+/** Terms within Levenshtein distance maxEdits. Reference:
+  * `lucene/core/src/java/org/apache/lucene/search/FuzzyQuery.java:52`. */
+final case class FuzzyQuery(term: String, maxEdits: Int = 2) extends Query
+
+/** Terms matching a regular expression. Reference:
+  * `lucene/core/src/java/org/apache/lucene/search/RegexpQuery.java:44`. */
+final case class RegexpQuery(pattern: String) extends Query
+
+/** Shell-style wildcard (`*`, `?`). Reference:
+  * `lucene/core/src/java/org/apache/lucene/search/WildcardQuery.java:38`. */
+final case class WildcardQuery(pattern: String) extends Query
+
+/** Multiply the wrapped query's scores. Reference:
+  * `lucene/core/src/java/org/apache/lucene/search/BoostQuery.java:29`. */
+final case class BoostQuery(query: Query, boost: Float) extends Query
+
+/** Matches like the wrapped query, fixed score 1.0 (× boost). Reference:
+  * `lucene/core/src/java/org/apache/lucene/search/ConstantScoreQuery.java:28`. */
+final case class ConstantScoreQuery(query: Query) extends Query
+
+/** OR taking max clause score + tieBreaker × sum of the rest. Reference:
+  * `lucene/core/src/java/org/apache/lucene/search/DisjunctionMaxQuery.java:44`. */
+final case class DisjunctionMaxQuery(disjuncts: Seq[Query], tieBreaker: Float = 0f) extends Query
+
+/** All docs, score 1. Reference: `search/MatchAllDocsQuery.java:23`. */
+case object MatchAllDocsQuery extends Query
+
+/** No docs. Reference: `search/MatchNoDocsQuery.java:23`. */
+case object MatchNoDocsQuery extends Query
+
+object QueryRewriter {
+  /** Logical rewrites mirroring the reference's `Query.rewrite` fixpoint
+    * (`lucene/core/src/java/org/apache/lucene/search/BooleanQuery.java:269-351`,
+    * `IndexSearcher.java:866-877`): empty boolean → MatchNoDocs, one-clause
+    * unwrap, MatchNoDocs propagation, nested flattening, dedup of
+    * FILTER/MUST_NOT clauses, wildcard→prefix/regexp lowering. */
+  def rewrite(q: Query): Query = {
+    val r = rewriteOnce(q)
+    if (r == q) r else rewrite(r)
+  }
+
+  private def rewriteOnce(q: Query): Query = q match {
+    case WildcardQuery(p) if !p.contains('?') && p.endsWith("*") &&
+        !p.substring(0, p.length - 1).exists(c => c == '*' || c == '?') =>
+      PrefixQuery(p.substring(0, p.length - 1))
+    case WildcardQuery(p) =>
+      RegexpQuery(p.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+        case c => c.toString
+      })
+    case PhraseQuery(Seq(t), _) => TermQuery(t)
+    case SynonymQuery(Seq(t)) => TermQuery(t)
+    case BoostQuery(inner, b) if b == 1f => rewriteOnce(inner)
+    case BoostQuery(inner, b) => BoostQuery(rewriteOnce(inner), b)
+    case ConstantScoreQuery(inner) => ConstantScoreQuery(rewriteOnce(inner))
+    case DisjunctionMaxQuery(Seq(d), _) => rewriteOnce(d)
+    case DisjunctionMaxQuery(ds, t) => DisjunctionMaxQuery(ds.map(rewriteOnce), t)
+    case BooleanQuery(clauses, msm) =>
+      var cs = clauses.map { case (o, c) => (o, rewriteOnce(c)) }
+      // MatchNoDocs in MUST/FILTER kills the query; in SHOULD/MUST_NOT it is dropped
+      if (cs.exists { case (o, c) => c == MatchNoDocsQuery && (o == Occur.MUST || o == Occur.FILTER) })
+        return MatchNoDocsQuery
+      cs = cs.filterNot { case (o, c) => c == MatchNoDocsQuery && (o == Occur.SHOULD || o == Occur.MUST_NOT) }
+      // dedup non-scoring clauses
+      cs = cs.distinct
+      if (cs.isEmpty) MatchNoDocsQuery
+      else if (cs.size == 1 && msm <= 1) cs.head match {
+        case (Occur.MUST, c) => c
+        case (Occur.SHOULD, c) => c
+        case (Occur.FILTER, c) => ConstantScoreQuery(c)
+        case (Occur.MUST_NOT, _) => MatchNoDocsQuery // pure negation matches nothing
+      }
+      else BooleanQuery(cs, msm)
+    case other => other
+  }
+}

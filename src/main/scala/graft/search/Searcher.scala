@@ -1,0 +1,410 @@
+package graft.search
+
+import graft.core._
+import graft.index.InvertedIndex
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** A decoded, scorable posting entry. */
+final case class Hit(docId: Long, freq: Int, doclen: Int)
+/** A decoded posting entry with positions (phrase verification). */
+final case class PosHit(docId: Long, doclen: Int, positions: Array[Int])
+
+/** How scores are computed.
+  *
+  *  - [[ScoringMode.LuceneBM25]]: the reference's exact float arithmetic —
+  *    byte-quantized length norms, 256-entry norm-inverse cache, float ops
+  *    (`lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java:220-233`).
+  *    This is the rank-identity mode.
+  *  - [[ScoringMode.PreciseBM25]]: the same model in double precision on
+  *    exact doc lengths, using only ANSI-SQL-expressible arithmetic
+  *    (`idf(df) * freq / (freq + k1*(1 - b + b*dl/avgdl))`), so an external
+  *    SQL engine (DuckDB) can serve as a row-exact oracle.
+  *  - [[ScoringMode.Classic]]: TF-IDF (`ClassicSimilarity.java:45-72`).
+  */
+sealed trait ScoringMode extends Serializable
+object ScoringMode {
+  final case class LuceneBM25(k1: Float = 1.2f, b: Float = 0.75f) extends ScoringMode
+  final case class PreciseBM25(k1: Double = 1.2, b: Double = 0.75) extends ScoringMode
+  final case class Classic() extends ScoringMode
+}
+
+/** Distributed query execution over an [[InvertedIndex]].
+  *
+  * Every query compiles to a DataFrame of `(docId: long, score: double)`;
+  * boolean composition is join/union/anti-join algebra; top-k is
+  * `ORDER BY score DESC, docId LIMIT k`, which Catalyst executes as
+  * TakeOrderedAndProject — per-partition bounded heaps merged on the driver,
+  * the exact distributed analog of the reference's per-slice collectors +
+  * `TopDocs.merge` (`lucene/core/src/java/org/apache/lucene/search/TopDocs.java:203`).
+  *
+  * Single-term top-k uses two-pass block-max pruning (SURVEY.md §7.2.5):
+  * pass 1 scores only the best blocks by impact upper bound to obtain a
+  * conservative threshold (a true k-th best score, hence a lower bound on the
+  * final k-th best), pass 2 skips every block whose upper bound is below it.
+  * This is the static-threshold distributed analog of the reference's
+  * `ImpactsDISI` / block-max WAND
+  * (`lucene/core/src/java/org/apache/lucene/search/ImpactsDISI.java:56`).
+  */
+final class Searcher(
+    val index: InvertedIndex,
+    val mode: ScoringMode = ScoringMode.PreciseBM25(),
+    /** hits below which pruning is not attempted — the analog of the
+      * reference's totalHitsThreshold (`IndexSearcher.java:100`) */
+    val pruneThreshold: Long = 1000L) {
+
+  private val spark = index.spark
+  import spark.implicits._
+
+  private val cs: CollectionStats = index.collectionStats
+
+  // ---------------------------------------------------------------- scoring
+
+  private def idfPrecise(df: Long): Double =
+    math.log(1 + (cs.docCount - df + 0.5) / (df + 0.5))
+
+  private val avgdlPrecise: Double = cs.sumTotalTermFreq / cs.docCount.toDouble
+
+  /** Per-term scorer: (freq, exact doclen) => score. */
+  private def termScorer(stats: TermStats, boost: Double): (Int, Int) => Double = mode match {
+    case ScoringMode.PreciseBM25(k1, b) =>
+      val idf = idfPrecise(stats.docFreq) * boost
+      val avgdl = avgdlPrecise
+      (freq, dl) => idf * (freq / (freq + k1 * (1 - b + b * dl / avgdl)))
+    case ScoringMode.LuceneBM25(k1, b) =>
+      val s = BM25Similarity(k1, b).scorer(boost.toFloat, cs, stats)
+      (freq, dl) => s.score(freq.toFloat, SmallFloat.intToByte4(dl)).toDouble
+    case ScoringMode.Classic() =>
+      val s = ClassicSimilarity().scorer(boost.toFloat, cs, stats)
+      (freq, dl) => s.score(freq.toFloat, SmallFloat.intToByte4(dl)).toDouble
+  }
+
+  /** Upper bound of [[termScorer]] over any posting in a block with the given
+    * (maxFreq, minDlb) impact metadata. Uses the quantized min length, which
+    * decodes to ≤ the true min length, so the bound is conservative. */
+  private def termUpperBound(stats: TermStats, boost: Double): (Int, Byte) => Double = {
+    val f = termScorer(stats, boost)
+    (maxFreq, minDlb) => f(maxFreq, SmallFloat.byte4ToInt(minDlb))
+  }
+
+  /** Scorer for phrase hits: idf is the sum of the member terms' idfs
+    * (`BM25Similarity.idfExplain` over a term array). */
+  private def phraseScorer(stats: Seq[TermStats], boost: Double): (Int, Int) => Double = mode match {
+    case ScoringMode.PreciseBM25(k1, b) =>
+      val idf = stats.map(s => idfPrecise(s.docFreq)).sum * boost
+      val avgdl = avgdlPrecise
+      (freq, dl) => idf * (freq / (freq + k1 * (1 - b + b * dl / avgdl)))
+    case ScoringMode.LuceneBM25(k1, b) =>
+      val sim = BM25Similarity(k1, b)
+      val idfSum = stats.map(s => sim.idf(s.docFreq, cs.docCount).toDouble).sum.toFloat
+      val synthetic = TermStats(1, 1)
+      val s = BM25Similarity(k1, b).scorer(1f, cs, synthetic)
+      // rebuild a scorer with weight = boost * idfSum using the same cache math
+      val cache = Array.tabulate(256)(i => 1f / (k1 * ((1 - b) + b * SmallFloat.LengthTable(i) / cs.avgFieldLength)))
+      val weight = boost.toFloat * idfSum
+      (freq, dl) => {
+        val inv = cache(SmallFloat.intToByte4(dl) & 0xFF)
+        (weight - weight / (1f + freq.toFloat * inv)).toDouble
+      }
+    case ScoringMode.Classic() =>
+      val sim = ClassicSimilarity()
+      val idfSum = stats.map(s => sim.idf(s.docFreq, cs.docCount).toDouble).sum
+      (freq, dl) => {
+        val weight = (boost * idfSum * idfSum).toFloat
+        val dlq = SmallFloat.LengthTable(SmallFloat.intToByte4(dl) & 0xFF)
+        val norm = if (dlq == 0) 0f else (1.0 / math.sqrt(dlq.toDouble)).toFloat
+        (weight * math.sqrt(freq.toDouble).toFloat * norm).toDouble
+      }
+  }
+
+  // ------------------------------------------------------------- statistics
+
+  /** All exact terms a query needs statistics for (one driver-side stats
+    * lookup per search, like the reference's `TermStates.build`,
+    * `lucene/core/src/java/org/apache/lucene/search/TermQuery.java:205-213`). */
+  private def exactTerms(q: Query): Set[String] = q match {
+    case TermQuery(t) => Set(t)
+    case SynonymQuery(ts) => ts.toSet
+    case PhraseQuery(ts, _) => ts.toSet
+    case BooleanQuery(cs, _) => cs.flatMap(c => exactTerms(c._2)).toSet
+    case BoostQuery(inner, _) => exactTerms(inner)
+    case ConstantScoreQuery(inner) => exactTerms(inner)
+    case DisjunctionMaxQuery(ds, _) => ds.flatMap(exactTerms).toSet
+    case _ => Set.empty
+  }
+
+  private def lookupStats(terms: Set[String]): Map[String, TermStats] = {
+    if (terms.isEmpty) return Map.empty
+    index.termStats
+      .filter(col("term").isin(terms.toSeq: _*))
+      .select("term", "df", "ttf")
+      .collect()
+      .map(r => r.getString(0) -> TermStats(r.getLong(1), r.getLong(2)))
+      .toMap
+  }
+
+  // ---------------------------------------------------------------- leaves
+
+  private def blocksOf(term: String): Dataset[PostingBlock] =
+    index.postings
+      .filter(col("term") === lit(term))
+      .select(explode(col("blocks")).as("b"))
+      .select("b.*")
+      .as[PostingBlock]
+
+  private def decodeScored(blocks: Dataset[PostingBlock], scorer: (Int, Int) => Double): DataFrame =
+    blocks.mapPartitions { it =>
+      it.flatMap { b =>
+        val d = PostingsCodec.decodeBlock(b)
+        Iterator.tabulate(d.docs.length)(i => (d.docs(i), scorer(d.freqs(i), d.doclens(i))))
+      }
+    }.toDF("docId", "score")
+
+  private def emptyFrame: DataFrame =
+    spark.emptyDataset[(Long, Double)].toDF("docId", "score")
+
+  /** Single-term scored doc set. */
+  private def termFrame(term: String, stats: Map[String, TermStats], boost: Double): DataFrame =
+    stats.get(term) match {
+      case None => emptyFrame
+      case Some(ts) => decodeScored(blocksOf(term), termScorer(ts, boost))
+    }
+
+  /** Two-pass block-max pruned top-k for a single term (see class doc). */
+  private def prunedTermTopK(term: String, ts: TermStats, boost: Double, k: Int): DataFrame = {
+    val ub = termUpperBound(ts, boost)
+    val ubUdf = udf((maxFreq: Int, minDlb: Byte) => ub(maxFreq, minDlb))
+    val blocks = blocksOf(term)
+    val withUb = blocks.withColumn("ub", ubUdf(col("maxFreq"), col("minDlb")))
+    // pass 1: exact-score the k best blocks by upper bound (≥ k docs since
+    // every block is non-empty) → the k-th best real score is a valid
+    // conservative threshold for pass 2.
+    val probe = withUb.orderBy(desc("ub")).limit(k)
+      .drop("ub").as[PostingBlock]
+    val scorer = termScorer(ts, boost)
+    val probeTop = decodeScored(probe, scorer)
+      .orderBy(desc("score"), asc("docId")).limit(k).collect()
+    if (probeTop.length < k) {
+      // fewer than k candidate docs in the probe — no safe threshold; fall back
+      decodeScored(blocks, scorer).orderBy(desc("score"), asc("docId")).limit(k)
+    } else {
+      val threshold = probeTop.last.getDouble(1)
+      val pruned = withUb.filter(col("ub") >= lit(threshold)).drop("ub").as[PostingBlock]
+      decodeScored(pruned, scorer).orderBy(desc("score"), asc("docId")).limit(k)
+    }
+  }
+
+  /** Synonym: union postings, sum freqs per doc, score as one pseudo-term with
+    * df = max clause df (`lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java:54`). */
+  private def synonymFrame(terms: Seq[String], stats: Map[String, TermStats], boost: Double): DataFrame = {
+    val present = terms.filter(stats.contains)
+    if (present.isEmpty) return emptyFrame
+    val df = present.map(t => stats(t).docFreq).max
+    val ttf = present.map(t => stats(t).totalTermFreq).sum
+    val scorer = termScorer(TermStats(df, ttf), boost)
+    val hits = present.map { t =>
+      blocksOf(t).mapPartitions { it =>
+        it.flatMap { b =>
+          val d = PostingsCodec.decodeBlock(b)
+          Iterator.tabulate(d.docs.length)(i => Hit(d.docs(i), d.freqs(i), d.doclens(i)))
+        }
+      }.toDF("docId", "freq", "doclen")
+    }.reduce(_ unionAll _)
+    val scoreUdf = udf((freq: Int, dl: Int) => scorer(freq, dl))
+    hits.groupBy("docId")
+      .agg(sum("freq").cast("int").as("freq"), first("doclen").as("doclen"))
+      .select(col("docId"), scoreUdf(col("freq"), col("doclen")).as("score"))
+  }
+
+  /** Exact phrase: per-term positional postings unioned, grouped by doc,
+    * position-intersected (two-phase: cheap doc match, then the position
+    * verify, like `lucene/core/src/java/org/apache/lucene/search/ExactPhraseMatcher.java:39`). */
+  private def phraseFrame(terms: Seq[String], stats: Map[String, TermStats], boost: Double): DataFrame = {
+    if (terms.exists(t => !stats.contains(t))) return emptyFrame
+    val scorer = phraseScorer(terms.map(stats), boost)
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      index.postings
+        .filter(col("term") === lit(t))
+        .select(explode(col("blocks")).as("b")).select("b.*")
+        .as[PostingBlock]
+        .mapPartitions { it =>
+          it.flatMap { b =>
+            val d = PostingsCodec.decodeBlock(b, withPositions = true)
+            Iterator.tabulate(d.docs.length)(j => PosHit(d.docs(j), d.doclens(j), d.positions(j)))
+          }
+        }
+        .toDF("docId", "doclen", "positions")
+        .withColumn("idx", lit(i))
+    }
+    val n = terms.size
+    val phraseFreqUdf = udf((plists: Seq[Row]) => {
+      val arrays = plists.sortBy(_.getInt(0)).map(_.getSeq[Int](1).toArray)
+      var count = 0
+      val base = arrays.head
+      var i = 0
+      while (i < base.length) {
+        val p0 = base(i)
+        var ok = true
+        var j = 1
+        while (ok && j < arrays.length) {
+          if (java.util.Arrays.binarySearch(arrays(j), p0 + j) < 0) ok = false
+          j += 1
+        }
+        if (ok) count += 1
+        i += 1
+      }
+      count
+    })
+    val scoreUdf = udf((freq: Int, dl: Int) => scorer(freq, dl))
+    perTerm.reduce(_ unionAll _)
+      .groupBy("docId")
+      .agg(first("doclen").as("doclen"),
+        org.apache.spark.sql.functions.count(lit(1)).as("nterms"),
+        collect_list(struct(col("idx"), col("positions"))).as("plists"))
+      .filter(col("nterms") === lit(n))
+      .withColumn("freq", phraseFreqUdf(col("plists")))
+      .filter(col("freq") > 0)
+      .select(col("docId"), scoreUdf(col("freq"), col("doclen")).as("score"))
+  }
+
+  /** Multi-term expansion (prefix/range/set/fuzzy/regexp) with constant score
+    * — the reference's CONSTANT_SCORE rewrite
+    * (`lucene/core/src/java/org/apache/lucene/search/MultiTermQuery.java:38-83`). */
+  private def expansionFrame(termPred: org.apache.spark.sql.Column, boost: Double): DataFrame =
+    index.postings
+      .filter(termPred)
+      .select(explode(col("blocks")).as("b")).select("b.*")
+      .as[PostingBlock]
+      .mapPartitions(it => it.flatMap(b => PostingsCodec.decodeBlock(b).docs.iterator))
+      .toDF("docId")
+      .distinct()
+      .withColumn("score", lit(boost))
+
+  // ----------------------------------------------------------- composition
+
+  private def sumJoin(l: DataFrame, r: DataFrame): DataFrame =
+    l.toDF("docId", "s1").join(r.toDF("docId2", "s2"), col("docId") === col("docId2"))
+      .select(col("docId"), (col("s1") + col("s2")).as("score"))
+
+  /** Union scored frames; keep docs matching ≥ msm clauses; sum scores. */
+  private def disjunction(frames: Seq[DataFrame], msm: Int): DataFrame = {
+    val u = frames.map(_.toDF("docId", "score")).reduce(_ unionAll _)
+    val agg = u.groupBy("docId").agg(sum("score").as("score"),
+      org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+    (if (msm > 1) agg.filter(col("cnt") >= lit(msm)) else agg).select("docId", "score")
+  }
+
+  // ------------------------------------------------------------- compile
+
+  /** Compile a query to its full scored doc set `(docId, score)`. */
+  def scored(q: Query): DataFrame = {
+    val rewritten = QueryRewriter.rewrite(q)
+    val stats = lookupStats(exactTerms(rewritten))
+    compile(rewritten, stats, 1.0)
+  }
+
+  private def compile(q: Query, stats: Map[String, TermStats], boost: Double): DataFrame = q match {
+    case MatchNoDocsQuery => emptyFrame
+    case MatchAllDocsQuery =>
+      index.docs.select(col("docId")).withColumn("score", lit(boost))
+    case TermQuery(t) => termFrame(t, stats, boost)
+    case SynonymQuery(ts) => synonymFrame(ts, stats, boost)
+    case PhraseQuery(ts, slop) =>
+      require(slop == 0, "only exact phrases (slop=0) are supported")
+      phraseFrame(ts, stats, boost)
+    case PrefixQuery(p) => expansionFrame(col("term").startsWith(p), boost)
+    case TermRangeQuery(lo, hi, il, ih) =>
+      val lower = lo.map(v => if (il) col("term") >= v else col("term") > v)
+      val upper = hi.map(v => if (ih) col("term") <= v else col("term") < v)
+      val pred = (lower.toSeq ++ upper.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+      expansionFrame(pred, boost)
+    case TermInSetQuery(ts) => expansionFrame(col("term").isin(ts.toSeq: _*), boost)
+    case FuzzyQuery(t, maxEdits) =>
+      expansionFrame(levenshtein(col("term"), lit(t)) <= maxEdits, boost)
+    case RegexpQuery(p) => expansionFrame(col("term").rlike("^(?:" + p + ")$"), boost)
+    case w: WildcardQuery => compile(QueryRewriter.rewrite(w), stats, boost)
+    case BoostQuery(inner, b) => compile(inner, stats, boost * b)
+    case ConstantScoreQuery(inner) =>
+      compile(inner, stats, 1.0).select(col("docId")).distinct()
+        .withColumn("score", lit(boost))
+    case DisjunctionMaxQuery(ds, tie) =>
+      val u = ds.map(d => compile(d, stats, boost)).reduce(_ unionAll _)
+      u.groupBy("docId")
+        .agg((max(col("score")) + lit(tie.toDouble) * (sum(col("score")) - max(col("score")))).as("score"))
+        .select("docId", "score")
+    case BooleanQuery(clauses, msm) => compileBoolean(clauses, msm, stats, boost)
+  }
+
+  private def compileBoolean(
+      clauses: Seq[(Occur.Value, Query)], msm: Int,
+      stats: Map[String, TermStats], boost: Double): DataFrame = {
+    val must = clauses.collect { case (Occur.MUST, c) => compile(c, stats, boost) }
+    val should = clauses.collect { case (Occur.SHOULD, c) => compile(c, stats, boost) }
+    val filters = clauses.collect { case (Occur.FILTER, c) => compile(c, stats, 1.0) }
+    val nots = clauses.collect { case (Occur.MUST_NOT, c) => compile(c, stats, 1.0) }
+
+    var base: DataFrame =
+      if (must.nonEmpty) {
+        val conj = must.reduce(sumJoin)
+        if (should.nonEmpty) {
+          val sAgg = disjunction(should, 1).toDF("sDocId", "sScore")
+          if (msm > 0) {
+            val sAggMsm = disjunction(should, msm).toDF("sDocId", "sScore")
+            conj.join(sAggMsm, col("docId") === col("sDocId"))
+              .select(col("docId"), (col("score") + col("sScore")).as("score"))
+          } else {
+            conj.join(sAgg, col("docId") === col("sDocId"), "left")
+              .select(col("docId"),
+                (col("score") + coalesce(col("sScore"), lit(0.0))).as("score"))
+          }
+        } else conj
+      } else if (should.nonEmpty) {
+        disjunction(should, math.max(msm, 1))
+      } else if (filters.nonEmpty) {
+        // filter-only boolean: matching docs, score 0
+        filters.map(_.select("docId")).reduce((a, b) => a.join(b, "docId"))
+          .distinct().withColumn("score", lit(0.0))
+      } else emptyFrame
+
+    filters.foreach { f =>
+      if (must.nonEmpty || should.nonEmpty)
+        base = base.join(f.select("docId").distinct(), Seq("docId"), "left_semi")
+    }
+    if (nots.nonEmpty) {
+      val excluded = nots.map(_.select("docId")).reduce(_ unionAll _).distinct()
+      base = base.join(excluded, Seq("docId"), "left_anti")
+    }
+    base.select("docId", "score")
+  }
+
+  // ---------------------------------------------------------------- public
+
+  /** Top-k search: `(docId, score)` ordered by score desc, docId asc —
+    * the reference's `TopDocs.merge` tiebreak. */
+  def search(q: Query, k: Int): DataFrame = {
+    val rewritten = QueryRewriter.rewrite(q)
+    rewritten match {
+      case TermQuery(t) =>
+        val stats = lookupStats(Set(t))
+        stats.get(t) match {
+          case None => emptyFrame
+          case Some(ts) if ts.docFreq > pruneThreshold => prunedTermTopK(t, ts, 1.0, k)
+          case Some(ts) =>
+            termFrame(t, stats, 1.0).orderBy(desc("score"), asc("docId")).limit(k)
+        }
+      case other =>
+        scored(other).orderBy(desc("score"), asc("docId")).limit(k)
+    }
+  }
+
+  /** Keyset pagination: top-k strictly after a previous (score, docId) anchor
+    * (`lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java:576`). */
+  def searchAfter(q: Query, k: Int, afterScore: Double, afterDocId: Long): DataFrame =
+    scored(q)
+      .filter(col("score") < lit(afterScore) ||
+        (col("score") === lit(afterScore) && col("docId") > lit(afterDocId)))
+      .orderBy(desc("score"), asc("docId")).limit(k)
+
+  /** Total hit count (`lucene/core/src/java/org/apache/lucene/search/TotalHitCountCollector.java:27`). */
+  def count(q: Query): Long = scored(q).count()
+}

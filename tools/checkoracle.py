@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: read graft.Verify output
+(outDir/<name>/ parquet + outDir/oracle_sql.json), run each oracle SQL in
+DuckDB over the sfDir parquet tables, and compare row/schema/values.
+
+Usage: python3 tools/checkoracle.py <sfDir> <outDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+def load_tables(con, sf_dir):
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p).replace(".parquet", "")
+        con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    # normalize floats
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(9)
+        if df[c].dtype.kind == "i":
+            df[c] = df[c].astype("int64")
+    return df
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    load_tables(con, sf_dir)
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        spark_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_dir):
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(spark_dir + "/*.parquet"))])
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        g, w = norm(got), norm(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}"); n_fail += 1; continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); n_fail += 1; continue
+        if not g.equals(w):
+            diff = (g != w).any(axis=1)
+            print(f"FAIL {name}: value mismatch, first diffs:\n spark:\n{g[diff].head(3)}\n oracle:\n{w[diff].head(3)}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(g)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
