@@ -1,0 +1,173 @@
+package graft.index
+
+import graft.core._
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Driver-side summary of one merge round. */
+final case class MergeMetrics(
+    mergeRound: Int,
+    rowsIn: Long,
+    rowsOut: Long,
+    blocksIn: Long,
+    blocksOut: Long,
+    saltedTerms: Int)
+
+/** Distributed segment merge — the reference's
+  * `SegmentMerger.merge`/`TieredMergePolicy` dataflow
+  * (`lucene/core/src/java/org/apache/lucene/index/SegmentMerger.java:43,113`,
+  * `TieredMergePolicy.java:317`) re-expressed as one salted shuffle.
+  *
+  * A fresh build leaves each term's postings scattered across per-partition
+  * segments: a tail term (df ≈ 1..5) owns one tiny under-filled block per
+  * segment it appears in. Merging compacts every term's postings into dense
+  * 128-doc blocks, exactly like the reference's merge concatenates per-segment
+  * posting lists (`index/FreqProxTermsWriter.java:83`); because our doc ids
+  * are global external ids there is no `DocIDMerger` docBase rebase step.
+  *
+  * **Skew handling (the north rule's salted shuffle).** Keying the shuffle by
+  * `term` alone would send a head term's entire posting list — proportional to
+  * corpus size, ~10^12 postings at target scale — to ONE reduce task. Instead:
+  *
+  *  1. A skew pre-pass counts postings-table *rows* per term. This aggregation
+  *     is itself skew-immune: partial (map-side) aggregation means a head term
+  *     contributes one partial count per map task, never its payload.
+  *  2. Terms whose row count exceeds `targetRowsPerGroup` are the head set —
+  *     by Zipf's law a tiny fraction of the vocabulary — so the salt map
+  *     `term -> nBuckets` is small and broadcastable.
+  *  3. Head-term rows get `salt = hash(segmentId, blockGroup) % nBuckets`;
+  *     tail terms salt 0. The shuffle key is `(term, salt)`, so every reduce
+  *     group holds at most ~`targetRowsPerGroup` rows
+  *     (≤ targetRowsPerGroup × 32 blocks × 128 docs postings) regardless of
+  *     term frequency — bounded reducer memory at any corpus size.
+  *  4. Each group is decoded, merge-sorted by doc id, and re-encoded into
+  *     dense blocks. Different salt buckets of the same term emit rows with
+  *     overlapping doc ranges; the query side never assumes cross-row doc
+  *     ordering (only intra-block ordering, which re-encoding guarantees), so
+  *     bucket independence costs nothing in correctness.
+  *
+  * Global `term_stats` / collection `stats` are invariant under merge (same
+  * postings, different layout) and are copied, as are the `docs` rows — like
+  * the reference, a merge rewrites the segment wholesale
+  * (`SegmentMerger.java:143-208`).
+  */
+object SegmentMerger {
+
+  /** Merge `index` into compacted segments at `targetDir`. Returns the opened
+    * merged index plus driver-side metrics; per-output-partition lineage
+    * (merge round, rows/blocks/postings written) lands in
+    * `targetDir/merge_manifest`.
+    */
+  def merge(
+      index: InvertedIndex,
+      targetDir: String,
+      mergeRound: Int = 1,
+      targetRowsPerGroup: Int = 8): (InvertedIndex, MergeMetrics) = {
+    val spark = index.spark
+    import spark.implicits._
+
+    val postings = index.postings
+    val rowsIn = postings.count()
+    val blocksIn = postings.select(sum(size(col("blocks")))).as[Long].head()
+
+    // (1)+(2) skew pre-pass: head terms only — broadcastable by construction.
+    val headTerms: Map[String, Int] = postings
+      .groupBy("term").count()
+      .filter(col("count") > targetRowsPerGroup)
+      .as[(String, Long)]
+      .collect()
+      .map { case (t, n) => t -> math.ceil(n.toDouble / targetRowsPerGroup).toInt }
+      .toMap
+    val bc = spark.sparkContext.broadcast(headTerms)
+
+    // (3) salt + shuffle on (term, salt).
+    val saltUdf = udf { (term: String, segmentId: Long, blockGroup: Int) =>
+      bc.value.get(term) match {
+        case Some(n) =>
+          val h = scala.util.hashing.MurmurHash3.productHash((segmentId, blockGroup))
+          ((h % n) + n) % n
+        case None => 0
+      }
+    }
+    val mergedSegBase = 1000000000L * mergeRound
+
+    // (4) per-group decode → merge-sort by doc → re-encode dense blocks.
+    val merged = postings
+      .withColumn("salt", saltUdf(col("term"), col("segmentId"), col("blockGroup")))
+      .repartition(col("term"), col("salt"))
+      .select("term", "salt", "blocks")
+      .as[(String, Int, Seq[PostingBlock])]
+      .mapPartitions { rows =>
+        val pid = TaskContext.getPartitionId()
+        val groups = mutable.LinkedHashMap.empty[(String, Int), mutable.ArrayBuffer[Seq[PostingBlock]]]
+        rows.foreach { case (t, s, bs) =>
+          groups.getOrElseUpdate((t, s), new mutable.ArrayBuffer) += bs
+        }
+        groups.iterator.flatMap { case ((term, salt), rowBlocks) =>
+          val decoded = rowBlocks.iterator.flatten.map { b =>
+            PostingsCodec.decodeBlock(b, withPositions = b.positions.nonEmpty)
+          }.toVector
+          val n = decoded.iterator.map(_.docs.length).sum
+          val docs = new Array[Long](n); val freqs = new Array[Int](n)
+          val dls = new Array[Int](n)
+          val hasPos = decoded.exists(_.positions.nonEmpty)
+          val pos = if (hasPos) new Array[Array[Int]](n) else null
+          var o = 0
+          decoded.foreach { d =>
+            var i = 0
+            while (i < d.docs.length) {
+              docs(o) = d.docs(i); freqs(o) = d.freqs(i); dls(o) = d.doclens(i)
+              if (hasPos) pos(o) = d.positions(i)
+              o += 1; i += 1
+            }
+          }
+          val order = Array.tabulate(n)(identity).sortBy(docs(_))
+          val blocks = PostingsCodec.encodeBlocks(
+            order.map(docs), order.map(freqs), order.map(dls),
+            if (hasPos) order.map(pos) else null)
+          blocks.grouped(PostingsCodec.BlocksPerRow).zipWithIndex.map {
+            case (grp, gi) =>
+              val df = grp.map(_.count).sum
+              val ttf = grp.map(b => VByte.decode(b.freqs, b.count).map(_.toLong).sum).sum
+              StageRow.postings(mergedSegBase + pid, term, salt * 100000 + gi, df, ttf, grp)
+          }
+        }
+      }
+
+    merged.toDF()
+      .write.mode("overwrite").partitionBy("kind").parquet(s"$targetDir/data")
+    val srcData = spark.read.parquet(s"${index.dir}/data")
+    Seq(0, 2).foreach { k =>
+      srcData.filter(col("kind") === k).withColumn("kind", lit(k))
+        .write.mode("append").partitionBy("kind").parquet(s"$targetDir/data")
+    }
+
+    // stats are merge-invariant — copy.
+    spark.read.parquet(s"${index.dir}/term_stats")
+      .write.mode("overwrite").parquet(s"$targetDir/term_stats")
+    spark.read.parquet(s"${index.dir}/stats")
+      .write.mode("overwrite").parquet(s"$targetDir/stats")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$targetDir/analyzer"), index.analyzer.name)
+
+    val out = InvertedIndex.open(spark, targetDir)
+
+    // Per-output-partition merge lineage, derived from the committed data so
+    // it never double-counts on task retries.
+    out.postings.filter(col("segmentId") >= mergedSegBase)
+      .groupBy(col("segmentId"))
+      .agg(
+        lit(mergeRound).as("mergeRound"),
+        (col("segmentId") - mergedSegBase).cast("int").as("partitionId"),
+        count(lit(1)).as("rowsOut"),
+        sum(size(col("blocks"))).as("blocksOut"),
+        sum(col("df")).as("postings"))
+      .drop("segmentId")
+      .write.mode("append").parquet(s"$targetDir/merge_manifest")
+
+    val rowsOut = out.postings.count()
+    val blocksOut = out.postings.select(sum(size(col("blocks")))).as[Long].head()
+    (out, MergeMetrics(mergeRound, rowsIn, rowsOut, blocksIn, blocksOut, headTerms.size))
+  }
+}

@@ -194,6 +194,101 @@ final class Searcher(
     }
   }
 
+  /** Block-max pruned top-k for multi-term sum-scored booleans — the
+    * distributed analog of the reference's MAXSCORE/block-max-WAND scorers
+    * (`lucene/core/src/java/org/apache/lucene/search/WANDScorer.java:39`,
+    * `MaxScoreBulkScorer.java:26`, `BlockMaxConjunctionBulkScorer.java:36`),
+    * with the dynamic shared-memory threshold replaced by a two-pass static
+    * threshold (SURVEY.md §7.3) — a trade Lucene itself can't make because it
+    * has no cheap "probe the best blocks first" pass over a columnar layout.
+    *
+    * Correctness argument (every step conservative):
+    *  - Pass 1 decodes only each term's top `k` blocks by impact upper bound
+    *    and aggregates exact per-doc partial sums. A partial sum only omits
+    *    non-negative contributions, so it lower-bounds the doc's true score;
+    *    for conjunctions, probe docs seen under every term are true matches.
+    *    Hence the k-th best probe score `T` lower-bounds the true k-th best.
+    *  - Pass 2 skips a block `b` of term `t` iff
+    *    `ub_t(b) + Σ_{t'≠t} maxUb(t') < T`. Any doc `d` in a skipped block has
+    *    `score(d) ≤ ub_t(b) + Σ_{t'≠t} maxUb(t') < T`, so `d` cannot reach the
+    *    top k — skipping it is safe.
+    *  - A doc whose computed pass-2 score is ≥ T can have had no block skipped
+    *    (a skipped block implies true score < T), so every result row ≥ T is
+    *    exact; docs below T are discarded, and ≥ k docs score ≥ T by pass 1.
+    *
+    * Falls back to exhaustive scoring when the probe yields < k candidates.
+    */
+  private def prunedBooleanTopK(
+      terms: Seq[String], stats: Map[String, TermStats], boost: Double, k: Int,
+      requireAll: Boolean): DataFrame = {
+    val present = terms.distinct.filter(stats.contains)
+    val exhaustive = () => {
+      val frames = present.map(t => termFrame(t, stats, boost))
+      val u = if (requireAll) frames.reduce(sumJoin) else disjunction(frames, 1)
+      u.orderBy(desc("score"), asc("docId")).limit(k)
+    }
+    if (requireAll && present.size < terms.distinct.size) return emptyFrame
+    if (present.isEmpty) return emptyFrame
+    if (present.size == 1) {
+      val t = present.head
+      return prunedTermTopK(t, stats(t), boost, k)
+    }
+
+    val scorers = present.map(t => t -> termScorer(stats(t), boost)).toMap
+    val ubs = present.map(t => t -> termUpperBound(stats(t), boost)).toMap
+    val ubUdf = udf((term: String, maxFreq: Int, minDlb: Byte) => ubs(term)(maxFreq, minDlb))
+
+    // One metadata-only scan: every block of every query term, with its score
+    // upper bound. Blocks stay encoded until pass 2 decodes the survivors.
+    val blocks = index.postings
+      .filter(col("term").isin(present: _*))
+      .select(col("term"), explode(col("blocks")).as("b"))
+      .select(col("term"), col("b.*"))
+      .withColumn("ub", ubUdf(col("term"), col("maxFreq"), col("minDlb")))
+
+    val maxUb: Map[String, Double] = blocks.groupBy("term").agg(max("ub").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    if (maxUb.size < present.size && requireAll) return emptyFrame
+    val sumMaxUb = maxUb.values.sum
+
+    def decodeSum(selected: DataFrame): DataFrame = {
+      val scored = selected.select(col("term"), struct(
+          col("firstDoc"), col("lastDoc"), col("count"), col("maxFreq"), col("minDlb"),
+          col("docDeltas"), col("freqs"), col("doclens"), col("positions")).as("b"))
+        .as[(String, PostingBlock)]
+        .mapPartitions { it =>
+          it.flatMap { case (t, b) =>
+            val f = scorers(t)
+            val d = PostingsCodec.decodeBlock(b)
+            Iterator.tabulate(d.docs.length)(i => (d.docs(i), f(d.freqs(i), d.doclens(i))))
+          }
+        }.toDF("docId", "score")
+      scored.groupBy("docId")
+        .agg(sum("score").as("score"), org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+    }
+
+    // Pass 1: probe = each term's k best blocks by upper bound.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(desc("ub"), asc("firstDoc"))
+    val probe = blocks.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    val probeAgg = decodeSum(probe)
+    val probeTop = (if (requireAll) probeAgg.filter(col("cnt") === present.size) else probeAgg)
+      .orderBy(desc("score"), asc("docId")).limit(k).collect()
+    if (probeTop.length < k) return exhaustive()
+    val threshold = probeTop.last.getDouble(1)
+
+    // Pass 2: per-term block cutoff tau_t = T - Σ_{t'≠t} maxUb(t').
+    val tau: Map[String, Double] = present.map(t => t -> (threshold - (sumMaxUb - maxUb(t)))).toMap
+    val tauUdf = udf((term: String) => tau(term))
+    val kept = blocks.filter(col("ub") >= tauUdf(col("term")))
+    val agg = decodeSum(kept)
+    val candidates = (if (requireAll) agg.filter(col("cnt") === present.size) else agg)
+      .filter(col("score") >= lit(threshold))
+      .select("docId", "score")
+    val result = candidates.orderBy(desc("score"), asc("docId")).limit(k)
+    if (result.count() < k) exhaustive() else result
+  }
+
   /** Synonym: union postings, sum freqs per doc, score as one pseudo-term with
     * df = max clause df (`lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java:54`). */
   private def synonymFrame(terms: Seq[String], stats: Map[String, TermStats], boost: Double): DataFrame = {
@@ -392,6 +487,16 @@ final class Searcher(
           case Some(ts) =>
             termFrame(t, stats, 1.0).orderBy(desc("score"), asc("docId")).limit(k)
         }
+      case b @ BooleanQuery(clauses, msm)
+          if msm <= 1 && clauses.nonEmpty &&
+            clauses.forall(_._2.isInstanceOf[TermQuery]) &&
+            (clauses.forall(_._1 == Occur.SHOULD) || clauses.forall(_._1 == Occur.MUST)) =>
+        val terms = clauses.map(_._2.asInstanceOf[TermQuery].term)
+        val stats = lookupStats(terms.toSet)
+        val requireAll = clauses.head._1 == Occur.MUST
+        val totalDf = terms.flatMap(stats.get(_)).map(_.docFreq).sum
+        if (totalDf > pruneThreshold) prunedBooleanTopK(terms, stats, 1.0, k, requireAll)
+        else scored(b).orderBy(desc("score"), asc("docId")).limit(k)
       case other =>
         scored(other).orderBy(desc("score"), asc("docId")).limit(k)
     }

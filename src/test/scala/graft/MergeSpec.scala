@@ -1,0 +1,126 @@
+package graft
+
+import graft.index._
+import graft.search._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Segment-merge metamorphic + invariant tests (SURVEY.md §5: merged index
+  * must be observationally identical to the unmerged one; pattern from the
+  * reference's `TestSegmentMerger` / `BaseMergePolicyTestCase`).
+  */
+class MergeSpec extends AnyFunSuite {
+  import SparkTestEnv._
+
+  // tiny flush budget + small salt budget → many segments, real salting
+  lazy val fragmented: InvertedIndex = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-frag-").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("docId"), col("text"))
+      .repartition(8)
+      .as[InputDoc]
+    IndexBuilder.build(docs, dir, IndexConfig(graft.core.SimpleAnalyzer, flushDocBudget = 32))
+  }
+
+  lazy val mergedPair: (InvertedIndex, MergeMetrics) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merged-").toString
+    SegmentMerger.merge(fragmented, dir, mergeRound = 1, targetRowsPerGroup = 2)
+  }
+
+  test("merge compacts: fewer postings rows and blocks, head terms salted") {
+    val (_, m) = mergedPair
+    assert(m.rowsOut <= m.rowsIn, s"rows ${m.rowsOut} > ${m.rowsIn}")
+    assert(m.blocksOut <= m.blocksIn, s"blocks ${m.blocksOut} > ${m.blocksIn}")
+    assert(m.saltedTerms > 0, "expected head terms to be salted at targetRowsPerGroup=2")
+  }
+
+  test("merge preserves global term statistics exactly") {
+    val (merged, _) = mergedPair
+    val before = fragmented.termStats.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val after = merged.termStats.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(before == after)
+    assert(merged.collectionStats == fragmented.collectionStats)
+  }
+
+  test("merged index satisfies CheckIndex invariants") {
+    val (merged, _) = mergedPair
+    val violations = CheckIndex.check(merged)
+    assert(violations.isEmpty, violations.take(5).mkString("; "))
+  }
+
+  test("metamorphic: identical query results before and after merge") {
+    val (merged, _) = mergedPair
+    val a = new Searcher(fragmented, ScoringMode.PreciseBM25())
+    val b = new Searcher(merged, ScoringMode.PreciseBM25())
+    val queries: Seq[Query] = Seq(
+      TermQuery("spark"),
+      TermQuery("the"),
+      BooleanQuery.must(TermQuery("data"), TermQuery("dup")),
+      BooleanQuery.should(TermQuery("vector"), TermQuery("stream")),
+      PhraseQuery(Seq("batch", "batch")),
+      PrefixQuery("st"))
+    queries.foreach { q =>
+      val ra = a.search(q, 20).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val rb = b.search(q, 20).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(ra == rb, s"merge changed results for $q")
+    }
+  }
+
+  test("merge manifest records per-partition lineage") {
+    val (merged, m) = mergedPair
+    val manifest = spark.read.parquet(s"${merged.dir}/merge_manifest")
+    val rows = manifest.collect()
+    assert(rows.nonEmpty)
+    assert(manifest.columns.toSet ==
+      Set("mergeRound", "partitionId", "rowsOut", "blocksOut", "postings"))
+    val totalRows = rows.map(r => r.getLong(r.fieldIndex("rowsOut"))).sum
+    assert(totalRows == m.rowsOut)
+  }
+}
+
+/** Block-max pruned boolean top-k ≡ exhaustive (metamorphic, pattern from the
+  * reference's `TestBlockMaxConjunction` / WAND equivalence tests).
+  */
+class PrunedBooleanSpec extends AnyFunSuite {
+  import SparkTestEnv._
+
+  test("pruned OR top-k == exhaustive OR top-k") {
+    val pruned = new Searcher(index, ScoringMode.PreciseBM25(), pruneThreshold = 1L)
+    val plain = new Searcher(index, ScoringMode.PreciseBM25(), pruneThreshold = Long.MaxValue)
+    val termSets = Seq(
+      Seq("spark", "data"),
+      Seq("the", "dup", "vector"),
+      Seq("stream", "batch", "query", "line"))
+    termSets.foreach { ts =>
+      val q = BooleanQuery(ts.map(t => Occur.SHOULD -> TermQuery(t)))
+      val a = pruned.search(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = plain.search(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a.map(_._1) == b.map(_._1), s"pruned OR doc ids != exhaustive for $ts")
+      a.zip(b).foreach { case ((_, sa), (_, sb)) => assert(math.abs(sa - sb) < 1e-9) }
+    }
+  }
+
+  test("pruned AND top-k == exhaustive AND top-k") {
+    val pruned = new Searcher(index, ScoringMode.PreciseBM25(), pruneThreshold = 1L)
+    val plain = new Searcher(index, ScoringMode.PreciseBM25(), pruneThreshold = Long.MaxValue)
+    val termSets = Seq(Seq("data", "dup"), Seq("the", "data", "query"))
+    termSets.foreach { ts =>
+      val q = BooleanQuery(ts.map(t => Occur.MUST -> TermQuery(t)))
+      val a = pruned.search(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = plain.search(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a.map(_._1) == b.map(_._1), s"pruned AND doc ids != exhaustive for $ts")
+      a.zip(b).foreach { case ((_, sa), (_, sb)) => assert(math.abs(sa - sb) < 1e-9) }
+    }
+  }
+
+  test("pruned path handles absent terms") {
+    val pruned = new Searcher(index, ScoringMode.PreciseBM25(), pruneThreshold = 1L)
+    val or = pruned.search(BooleanQuery(Seq(
+      Occur.SHOULD -> TermQuery("spark"), Occur.SHOULD -> TermQuery("zzzznotaterm"))), 5)
+    assert(or.count() > 0)
+    val and = pruned.search(BooleanQuery(Seq(
+      Occur.MUST -> TermQuery("spark"), Occur.MUST -> TermQuery("zzzznotaterm"))), 5)
+    assert(and.count() == 0)
+  }
+}
