@@ -51,7 +51,7 @@ object SparkEntry {
   private def docSet(df: DataFrame): DataFrame =
     df.select(col("docId").as("doc_id")).orderBy("doc_id")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     "q01_term_bm25" -> ((s, dir) => {
       topk(Indexes.searcher(s, dir).search(TermQuery("spark"), 10), 10)
     }),
@@ -115,7 +115,7 @@ object SparkEntry {
     "q15_synonym" -> ((s, dir) => {
       topk(Indexes.searcher(s, dir).scored(SynonymQuery(Seq("fast", "slow"))), 10)
     })
-  )
+  ) ++ graft.pipeline.PipelineQueries.queries
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -243,5 +243,5 @@ object SparkEntry {
          |  * ${tfNormSql("tf.freq", "dl.dl")} AS score
          |FROM (SELECT doc_id, count(*) AS freq FROM toks WHERE term IN ('fast', 'slow') GROUP BY doc_id) tf
          |JOIN dl ON tf.doc_id = dl.doc_id""".stripMargin, 10)
-  )
+  ) ++ graft.pipeline.PipelineQueries.oracleSql
 }

@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * The dot product / cosine is pure Catalyst (`zip_with` + `aggregate`, in
+  * double precision) — whole-stage-codegen'd, no UDF. Brute force is the
+  * exact baseline (one scan per query — embarrassingly parallel and often
+  * the right answer on a cluster when queries are batched); the
+  * random-hyperplane LSH variant is the sublinear scale path: bucket the
+  * corpus once, then probe only matching buckets.
+  */
+object Ann {
+
+  /** `Σ a_i·b_i` in double precision, native expressions. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors of the vector with id `queryId`.
+    * The query vector rides along as a literal (broadcast semantics): one
+    * scan, then `ORDER BY LIMIT k` = per-partition heaps + driver merge. */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val qv = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Float](0)
+    val q = array(qv.map(v => lit(v)): _*)
+    embeddings.filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .orderBy(desc("cos"), col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All pairs with cosine ≥ `tau` (exact, all-pairs — the oracle/small path;
+    * compose [[lshBuckets]] + within-bucket pairs for the sublinear path). */
+  def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                  tau: Double): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    e.toDF("a", "va").join(e.toDF("b", "vb"), col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** Deterministic Rademacher (±1) hyperplane component for (plane, dim):
+    * one md5 bit — reproducible anywhere. */
+  private def planeSign(plane: Int, dim: Column): Column =
+    when(TextOps.h60(concat(lit(s"plane$plane:"), dim.cast("string")))
+      .bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Random-hyperplane LSH bucket id (`nPlanes`-bit sign pattern) for each
+    * vector. Vectors in the same bucket are similarity candidates; expected
+    * collision prob. for angle θ is (1 − θ/π)^nPlanes. */
+  def lshBuckets(embeddings: DataFrame, idCol: String, vecCol: String,
+                 nPlanes: Int = 8): DataFrame = {
+    val sigBits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
+          (v, i) => v.cast("double") * planeSign(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sigBits.reduce(_ + _).as("bucket"))
+  }
+
+  /** Approximate top-k neighbors of `queryId`: probe only buckets within
+    * `probeHamming` sign-bits of the query's bucket (multi-probe LSH), then
+    * exact-rerank the candidates. Sublinear: scans |candidates|, not |corpus|. */
+  def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nPlanes: Int = 8,
+              probeHamming: Int = 1): DataFrame = {
+    val bucketed = lshBuckets(embeddings, idCol, vecCol, nPlanes)
+    val qRow = bucketed.filter(col("id") === queryId).select("bucket", "v").head()
+    val qBucket = qRow.getLong(0)
+    val qv = qRow.getSeq[Float](1)
+    val q = array(qv.map(v => lit(v)): _*)
+    bucketed
+      .filter(col("id") =!= queryId &&
+        bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
+      .select(col("id"), cosine(col("v"), q).as("cos"))
+      .orderBy(desc("cos"), col("id").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * (hash groupBy), MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design notes (100 TB / 10^9+ docs):
+  *  - Exact dedup is one shuffle on the content hash; group payload per key is
+  *    the duplicate-set size, which for web corpora is short-tailed enough for
+  *    AQE; pathological keys (empty docs) should be pre-filtered.
+  *  - MinHash-LSH is the scale path for near-dup: cost is
+  *    O(docs × shingles) map-side + a shuffle keyed by (band, bandValue).
+  *    Bucket skew (a band value shared by a huge near-dup cluster) is the
+  *    classic hot-key: candidate pairs within one bucket are quadratic, so
+  *    buckets are capped (`maxBucket`) exactly like production dedup pipelines
+  *    cap connected-component sizes.
+  *  - The exact Jaccard verify joins candidates back to the shingle table —
+  *    a semi-join on (doc, shingle), proportional to candidate count, not to
+  *    corpus².
+  *  - SimHash pairs with Hamming ≤ h use (h+1)-way signature banding: a pair
+  *    within distance h agrees on ≥1 band by pigeonhole, so banding has
+  *    perfect recall while only ever joining on 15-bit keys.
+  */
+object Dedup {
+
+  /** Exact dedup by a content key: every row gets the minimum `idCol` of its
+    * key group as `keep_id`; rows with `id != keep_id` are the duplicates.
+    * One shuffle (window over the key). */
+  def exact(df: DataFrame, keyCol: Column, idCol: String): DataFrame = {
+    val w = Window.partitionBy("dedup_key")
+    df.withColumn("dedup_key", keyCol)
+      .withColumn("keep_id", min(col(idCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+  }
+
+  /** Per-doc MinHash signature over word `n`-gram shingles: `numHashes`
+    * permutations h_i(s) = h60(i || ':' || s), signature(i) = min over
+    * shingles. One aggregation, no explode-by-permutation. */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, numHashes: Int = 16): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc"), explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sg"))
+      .distinct()
+    val mins = (0 until numHashes).map(i =>
+      min(TextOps.h60(concat(lit(i.toString), lit(":"), col("sg")))).as(s"h$i"))
+    sh.groupBy("doc").agg(mins.head, mins.tail: _*)
+      .select(col("doc"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs from MinHash signatures: `bands` bands of
+    * `sig.length / bands` rows; docs sharing any band value are candidates.
+    * `maxBucket` caps quadratic blowup in hot buckets. */
+  def lshCandidates(sigs: DataFrame, bands: Int, maxBucket: Int = 1000): DataFrame = {
+    val rows = expr(s"size(sig) div $bands")
+    val banded = sigs
+      .select(col("doc"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rows + 1, rows))).as(Seq("band", "bv")))
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bv")))
+      .filter(col("bucket_n") <= maxBucket)
+    capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("a"), col("b.doc").as("b"))
+      .distinct()
+  }
+
+  /** Exact word-shingle Jaccard for the given candidate pairs `(a, b)`:
+    * joins back to distinct shingle sets, proportional to candidates. */
+  def verifyJaccard(df: DataFrame, textCol: String, idCol: String,
+                    candidates: DataFrame, n: Int = 3): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc"), explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sg"))
+      .distinct()
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("nsh"))
+    val inter = candidates
+      .join(sh.toDF("doc_a", "sg"), col("a") === col("doc_a"))
+      .join(sh.toDF("doc_b", "sg2"), col("b") === col("doc_b") && col("sg") === col("sg2"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_sa", "na"), col("a") === col("doc_sa"))
+      .join(sizes.toDF("doc_sb", "nb"), col("b") === col("doc_sb"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact-verified Jaccard ≥ `tau`. */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      tau: Double, n: Int = 3, numHashes: Int = 16,
+                      bands: Int = 8): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol, n, numHashes)
+    val cands = lshCandidates(sigs, bands)
+    verifyJaccard(df, textCol, idCol, cands, n).filter(col("jaccard") >= tau)
+  }
+
+  /** Exact all-pairs word-shingle Jaccard ≥ `tau` via an inverted shingle
+    * join (no LSH): the small-scale/oracle path. Cost is Σ_sg df(sg)² — use
+    * [[minhashLshPairs]] beyond ~10^6 docs. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        tau: Double, n: Int = 3): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc"), explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sg"))
+      .distinct()
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("nsh"))
+    val inter = sh.toDF("a", "sg").join(sh.toDF("b", "sg2"),
+        col("sg") === col("sg2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_sa", "na"), col("a") === col("doc_sa"))
+      .join(sizes.toDF("doc_sb", "nb"), col("b") === col("doc_sb"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** Per-doc 60-bit SimHash over tf-weighted token hashes: bit b of the
+    * signature is set iff Σ_tokens tf × (bit b of h60(token) ? +1 : -1) > 0.
+    * Expressed as two aggregations (per-(doc,bit) vote, then bit-pack) —
+    * both map-side combinable. */
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        bits: Int = 60): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc"), explode(TextOps.tokens(col(textCol))).as("t"))
+      .groupBy("doc", "t").agg(count(lit(1)).as("tf"))
+      .withColumn("h", TextOps.h60(col("t")))
+    val votes = tf
+      .select(col("doc"), explode(sequence(lit(0), lit(bits - 1))).as("b"), col("h"), col("tf"))
+      .select(col("doc"), col("b"),
+        when(expr("shiftright(h, b)").bitwiseAND(1) === 1, col("tf"))
+          .otherwise(-col("tf")).as("v"))
+      .groupBy("doc", "b").agg(sum("v").as("v"))
+    votes.groupBy("doc")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("sig"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found by
+    * banding the signature into `maxHamming + 1` chunks (pigeonhole ⇒ perfect
+    * recall) and verifying with `bit_count(a XOR b)`. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3, bits: Int = 60): DataFrame = {
+    val sigs = simhashSignatures(df, textCol, idCol, bits)
+    val nBands = maxHamming + 1
+    val bandBits = bits / nBands
+    val mask = (1L << bandBits) - 1
+    val banded = sigs.select(col("doc"), col("sig"),
+      posexplode(array((0 until nBands).map(j =>
+        shiftright(col("sig"), j * bandBits).bitwiseAND(mask)): _*)).as(Seq("band", "bv")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"),
+        col("x.sig").as("siga"), col("y.sig").as("sigb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("siga").bitwiseXOR(col("sigb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+}
