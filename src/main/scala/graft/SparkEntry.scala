@@ -114,6 +114,72 @@ object SparkEntry {
     }),
     "q15_synonym" -> ((s, dir) => {
       topk(Indexes.searcher(s, dir).scored(SynonymQuery(Seq("fast", "slow"))), 10)
+    }),
+    "q27_wildcard" -> ((s, dir) => {
+      docSet(Indexes.searcher(s, dir).scored(WildcardQuery("qu?ry")))
+    }),
+    "q28_regexp" -> ((s, dir) => {
+      docSet(Indexes.searcher(s, dir).scored(RegexpQuery("(fast|slow)")))
+    }),
+    "q29_term_in_set" -> ((s, dir) => {
+      docSet(Indexes.searcher(s, dir).scored(TermInSetQuery(Set("spark", "vector", "stream"))))
+    }),
+    "q30_histogram" -> ((s, dir) => {
+      Facets.rangeCounts(Indexes.searcher(s, dir).scored(TermQuery("dup")),
+          docsTable(s, dir), "doc_id", "n_chars", 50)
+        .orderBy("bucket")
+    }),
+    "q31_drill_sideways" -> ((s, dir) => {
+      DrillSideways.counts(Indexes.searcher(s, dir).scored(TermQuery("data")),
+          docsTable(s, dir), "doc_id", Seq("lang" -> "en", "source" -> "src3"))
+        .orderBy("dim", "value")
+    }),
+    "q32_topk_group" -> ((s, dir) => {
+      Grouping.topKPerGroup(Indexes.searcher(s, dir).scored(TermQuery("dup")),
+          docsTable(s, dir), "doc_id", "source", 2)
+        .select(col("source"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
+        .orderBy("source", "rank")
+    }),
+    "q33_join_scored" -> ((s, dir) => {
+      JoinUtil.scoredJoin(Indexes.searcher(s, dir).scored(TermQuery("spark")),
+          docsTable(s, dir), "doc_id", "source", docsTable(s, dir), "source", "max")
+        .select(col("doc_id"), round(col("joinScore"), 6).as("join_score"))
+        .orderBy("doc_id")
+    }),
+    "q34_rescorer" -> ((s, dir) => {
+      Indexes.searcher(s, dir).rescore(TermQuery("data"), TermQuery("filter"), 0.5, 20, 10)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+    }),
+    "q35_classic_tfidf" -> ((s, dir) => {
+      topk(new Searcher(Indexes.documentsIndex(s, dir), ScoringMode.PreciseClassic())
+        .scored(TermQuery("spark")), 10)
+    }),
+    "q36_mlt" -> ((s, dir) => {
+      val text = docsTable(s, dir).filter(col("doc_id") === 0).select("text").head().getString(0)
+      Indexes.searcher(s, dir).moreLikeThis(text, 5, 10, excludeDocId = Some(0L))
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+    }),
+    "q37_point_range" -> ((s, dir) => {
+      // PointRangeQuery analog: native Catalyst numeric range + pushdown
+      s.read.parquet(s"$dir/events.parquet")
+        .filter(col("value") >= 10.0 && col("value") < 50.0)
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"),
+          round(sum("value"), 6).as("total"))
+        .orderBy("event_type")
+    }),
+    "q38_feature" -> ((s, dir) => {
+      // FeatureQuery analog: BM25 + ln(1 + feature) static doc boost
+      val base = Indexes.searcher(s, dir).scored(TermQuery("line")).toDF("doc_id2", "s1")
+      base.join(docsTable(s, dir), col("doc_id2") === col("doc_id"))
+        .select(col("doc_id"),
+          (col("s1") + log(lit(1.0) + col("n_chars") / lit(100.0))).as("score"))
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+    }),
+    "q39_multiphrase" -> ((s, dir) => {
+      topk(Indexes.searcher(s, dir).scored(
+        MultiPhraseQuery(Seq(Seq("fast", "slow"), Seq("join", "scan")))), 10)
     })
   ) ++ graft.pipeline.PipelineQueries.queries
 
@@ -242,6 +308,122 @@ object SparkEntry {
              "(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'slow')))")}
          |  * ${tfNormSql("tf.freq", "dl.dl")} AS score
          |FROM (SELECT doc_id, count(*) AS freq FROM toks WHERE term IN ('fast', 'slow') GROUP BY doc_id) tf
-         |JOIN dl ON tf.doc_id = dl.doc_id""".stripMargin, 10)
+         |JOIN dl ON tf.doc_id = dl.doc_id""".stripMargin, 10),
+
+    "q27_wildcard" ->
+      s"""$CTE
+         |SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'qu_ry' ORDER BY doc_id""".stripMargin,
+
+    "q28_regexp" ->
+      s"""$CTE
+         |SELECT DISTINCT doc_id FROM toks WHERE regexp_full_match(term, '(fast|slow)') ORDER BY doc_id""".stripMargin,
+
+    "q29_term_in_set" ->
+      s"""$CTE
+         |SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'vector', 'stream') ORDER BY doc_id""".stripMargin,
+
+    "q30_histogram" ->
+      s"""$CTE
+         |SELECT d.n_chars // 50 AS bucket, count(*) AS cnt
+         |FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup') m
+         |JOIN documents d ON m.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q31_drill_sideways" ->
+      s"""$CTE, m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'data')
+         |SELECT 'lang' AS dim, d.lang AS value, count(*) AS cnt
+         |FROM m JOIN documents d ON m.doc_id = d.doc_id WHERE d.source = 'src3' GROUP BY d.lang
+         |UNION ALL
+         |SELECT 'source' AS dim, d.source AS value, count(*) AS cnt
+         |FROM m JOIN documents d ON m.doc_id = d.doc_id WHERE d.lang = 'en' GROUP BY d.source
+         |ORDER BY dim, value""".stripMargin,
+
+    "q32_topk_group" ->
+      s"""$CTE
+         |SELECT source, doc_id, round(score, 6) AS score, rank FROM (
+         |  SELECT d.source AS source, sc.doc_id AS doc_id, sc.score AS score,
+         |         row_number() OVER (PARTITION BY d.source ORDER BY sc.score DESC, sc.doc_id) AS rank
+         |  FROM (${termScoreSql("dup")}) sc JOIN documents d ON sc.doc_id = d.doc_id
+         |) ranked WHERE rank <= 2 ORDER BY source, rank""".stripMargin,
+
+    "q33_join_scored" ->
+      s"""$CTE
+         |, keyscores AS (
+         |  SELECT d.source AS jk, max(sc.score) AS js
+         |  FROM (${termScoreSql("spark")}) sc JOIN documents d ON sc.doc_id = d.doc_id
+         |  GROUP BY d.source)
+         |SELECT d.doc_id, round(k.js, 6) AS join_score
+         |FROM documents d JOIN keyscores k ON d.source = k.jk
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q34_rescorer" ->
+      s"""$CTE
+         |, first_pass AS (
+         |  SELECT doc_id, score FROM (${termScoreSql("data")}) s
+         |  ORDER BY score DESC, doc_id LIMIT 20)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT f.doc_id, f.score + 0.5 * coalesce(r.score, 0) AS score
+         |  FROM first_pass f LEFT JOIN (${termScoreSql("filter")}) r ON f.doc_id = r.doc_id
+         |) c ORDER BY c.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q35_classic_tfidf" ->
+      s"""$CTE
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT tf.doc_id,
+         |         (i.idf * i.idf) * sqrt(tf.freq) / sqrt(dl.dl) AS score
+         |  FROM (SELECT doc_id, count(*) AS freq FROM toks WHERE term = 'spark' GROUP BY doc_id) tf
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN (SELECT ln(((SELECT n FROM stats) + 1) /
+         |    ((SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')) + 1.0)) + 1.0 AS idf) i
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q36_mlt" ->
+      s"""$CTE
+         |, dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+         |, mlt AS (
+         |  SELECT t.term FROM (SELECT term, count(*) AS freq FROM toks WHERE doc_id = 0 GROUP BY term) t
+         |  JOIN dfs ON dfs.term = t.term
+         |  ORDER BY t.freq * ${idfSql("dfs.df")} DESC, t.term LIMIT 5)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT tf.doc_id,
+         |         sum(${idfSql("dfs.df")} * ${tfNormSql("tf.freq", "dl.dl")}) AS score
+         |  FROM (SELECT doc_id, term, count(*) AS freq FROM toks
+         |        WHERE term IN (SELECT term FROM mlt) GROUP BY doc_id, term) tf
+         |  JOIN dfs ON dfs.term = tf.term
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  WHERE tf.doc_id <> 0
+         |  GROUP BY tf.doc_id
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q37_point_range" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 6) AS total
+        |FROM events WHERE value >= 10.0 AND value < 50.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q38_feature" ->
+      s"""$CTE
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT s.doc_id, s.score + ln(1.0 + d.n_chars / 100.0) AS score
+         |  FROM (${termScoreSql("line")}) s JOIN documents d ON s.doc_id = d.doc_id
+         |) c ORDER BY c.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q39_multiphrase" ->
+      s"""$CTE
+         |, pf AS (
+         |  SELECT a.doc_id, count(DISTINCT a.pos) AS freq
+         |  FROM toks a
+         |  WHERE a.term IN ('fast', 'slow') AND EXISTS (
+         |    SELECT 1 FROM toks b WHERE b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |      AND b.term IN ('join', 'scan'))
+         |  GROUP BY a.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT pf.doc_id,
+         |    (${idfSql("(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'fast'))")}
+         |     + ${idfSql("(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'slow'))")}
+         |     + ${idfSql("(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'join'))")}
+         |     + ${idfSql("(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'scan'))")})
+         |    * ${tfNormSql("pf.freq", "dl.dl")} AS score
+         |  FROM pf JOIN dl ON pf.doc_id = dl.doc_id
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
   ) ++ graft.pipeline.PipelineQueries.oracleSql
 }

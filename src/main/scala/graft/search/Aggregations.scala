@@ -37,6 +37,34 @@ object Facets {
       .groupBy(col(groupDim)).agg(countDistinct(col(valueDim)).as("ndv"))
 }
 
+/** Drill-sideways faceting — the reference's `DrillSideways`
+  * (`lucene/facet/src/java/org/apache/lucene/facet/DrillSideways.java:71`):
+  * with drill-down filters on several dimensions, each dimension's facet
+  * counts are computed under all filters EXCEPT its own (so the UI can show
+  * what the other values of that dimension would yield).
+  */
+object DrillSideways {
+
+  /** @param matched     base-query matches `(docId, score)`
+    * @param corpus      table with the dimension columns, keyed by `docIdCol`
+    * @param dimFilters  (dimension column, drilled-down value) per dimension
+    * @return rows `(dim, value, cnt)` — for each dimension, counts per value
+    *         under the other dimensions' filters
+    */
+  def counts(matched: DataFrame, corpus: DataFrame, docIdCol: String,
+             dimFilters: Seq[(String, String)]): DataFrame = {
+    val base = matched.select(col("docId"))
+      .join(corpus, col("docId") === corpus(docIdCol))
+    dimFilters.map { case (dim, _) =>
+      val others = dimFilters.filter(_._1 != dim)
+      val filtered = others.foldLeft(base) { case (df, (d, v)) => df.filter(col(d) === lit(v)) }
+      filtered.groupBy(col(dim))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(dim).as("dim"), col(dim).cast("string").as("value"), col("cnt"))
+    }.reduce(_ unionAll _)
+  }
+}
+
 /** Grouping: top-k docs per group and group heads — the reference's grouping
   * module (`lucene/grouping/src/java/org/apache/lucene/search/grouping/GroupingSearch.java:42`)
   * as window functions (SURVEY.md §2.8).

@@ -17,6 +17,10 @@ final case class SynonymQuery(terms: Seq[String]) extends Query
   * `lucene/core/src/java/org/apache/lucene/search/PhraseQuery.java:71`. */
 final case class PhraseQuery(terms: Seq[String], slop: Int = 0) extends Query
 
+/** Phrase with term alternatives per position. Reference:
+  * `lucene/core/src/java/org/apache/lucene/search/MultiPhraseQuery.java:54`. */
+final case class MultiPhraseQuery(positions: Seq[Seq[String]]) extends Query
+
 object Occur extends Enumeration {
   val MUST, SHOULD, MUST_NOT, FILTER = Value
 }

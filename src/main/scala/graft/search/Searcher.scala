@@ -27,6 +27,10 @@ object ScoringMode {
   final case class LuceneBM25(k1: Float = 1.2f, b: Float = 0.75f) extends ScoringMode
   final case class PreciseBM25(k1: Double = 1.2, b: Double = 0.75) extends ScoringMode
   final case class Classic() extends ScoringMode
+  /** Classic TF-IDF in double precision on exact doc lengths (the
+    * SQL-oracle-reproducible variant of [[Classic]]):
+    * `idf = ln((N+1)/(df+1)) + 1`, `score = idf² · √freq / √dl`. */
+  final case class PreciseClassic() extends ScoringMode
 }
 
 /** Distributed query execution over an [[InvertedIndex]].
@@ -77,6 +81,10 @@ final class Searcher(
     case ScoringMode.Classic() =>
       val s = ClassicSimilarity().scorer(boost.toFloat, cs, stats)
       (freq, dl) => s.score(freq.toFloat, SmallFloat.intToByte4(dl)).toDouble
+    case ScoringMode.PreciseClassic() =>
+      val idf = math.log((cs.docCount + 1) / (stats.docFreq + 1.0)) + 1.0
+      val weight = boost * idf * idf
+      (freq, dl) => weight * math.sqrt(freq.toDouble) / math.sqrt(dl.toDouble)
   }
 
   /** Upper bound of [[termScorer]] over any posting in a block with the given
@@ -115,6 +123,10 @@ final class Searcher(
         val norm = if (dlq == 0) 0f else (1.0 / math.sqrt(dlq.toDouble)).toFloat
         (weight * math.sqrt(freq.toDouble).toFloat * norm).toDouble
       }
+    case ScoringMode.PreciseClassic() =>
+      val idfSum = stats.map(s => math.log((cs.docCount + 1) / (s.docFreq + 1.0)) + 1.0).sum
+      val weight = boost * idfSum * idfSum
+      (freq, dl) => weight * math.sqrt(freq.toDouble) / math.sqrt(dl.toDouble)
   }
 
   // ------------------------------------------------------------- statistics
@@ -126,6 +138,7 @@ final class Searcher(
     case TermQuery(t) => Set(t)
     case SynonymQuery(ts) => ts.toSet
     case PhraseQuery(ts, _) => ts.toSet
+    case MultiPhraseQuery(ps) => ps.flatten.toSet
     case BooleanQuery(cs, _) => cs.flatMap(c => exactTerms(c._2)).toSet
     case BoostQuery(inner, _) => exactTerms(inner)
     case ConstantScoreQuery(inner) => exactTerms(inner)
@@ -362,6 +375,68 @@ final class Searcher(
       .select(col("docId"), scoreUdf(col("freq"), col("doclen")).as("score"))
   }
 
+  /** Phrase with term alternatives per position
+    * (`lucene/core/src/java/org/apache/lucene/search/MultiPhraseQuery.java:54`):
+    * a match at start position p requires, for every position index i, some
+    * alternative of position i at p+i. freq = number of distinct start
+    * positions; idf = sum over all (present) member terms. */
+  private def multiPhraseFrame(positions: Seq[Seq[String]],
+                               stats: Map[String, TermStats], boost: Double): DataFrame = {
+    // a position whose alternatives are all absent can never match
+    if (positions.exists(_.forall(t => !stats.contains(t)))) return emptyFrame
+    val allTerms = positions.flatten.distinct.filter(stats.contains)
+    val scorer = phraseScorer(allTerms.map(stats), boost)
+    val perPos = positions.zipWithIndex.map { case (alts, i) =>
+      val present = alts.filter(stats.contains)
+      present.map { t =>
+        index.postings
+          .filter(col("term") === lit(t))
+          .select(explode(col("blocks")).as("b")).select("b.*")
+          .as[PostingBlock]
+          .mapPartitions { it =>
+            it.flatMap { b =>
+              val d = PostingsCodec.decodeBlock(b, withPositions = true)
+              Iterator.tabulate(d.docs.length)(j => PosHit(d.docs(j), d.doclens(j), d.positions(j)))
+            }
+          }
+          .toDF("docId", "doclen", "positions")
+          .withColumn("idx", lit(i))
+      }.reduce(_ unionAll _)
+    }
+    val n = positions.size
+    val mpFreqUdf = udf((plists: Seq[Row]) => {
+      // union the alternatives' position sets per index
+      val byIdx: Map[Int, Array[Int]] = plists.groupBy(_.getInt(0)).map { case (i, rows) =>
+        i -> rows.flatMap(_.getSeq[Int](1)).distinct.sorted.toArray
+      }
+      val base = byIdx(0)
+      var count = 0
+      var i = 0
+      while (i < base.length) {
+        val p0 = base(i)
+        var ok = true
+        var j = 1
+        while (ok && j < n) {
+          if (java.util.Arrays.binarySearch(byIdx(j), p0 + j) < 0) ok = false
+          j += 1
+        }
+        if (ok) count += 1
+        i += 1
+      }
+      count
+    })
+    val scoreUdf = udf((freq: Int, dl: Int) => scorer(freq, dl))
+    perPos.reduce(_ unionAll _)
+      .groupBy("docId")
+      .agg(first("doclen").as("doclen"),
+        size(array_distinct(collect_list(col("idx")))).as("nidx"),
+        collect_list(struct(col("idx"), col("positions"))).as("plists"))
+      .filter(col("nidx") === lit(n))
+      .withColumn("freq", mpFreqUdf(col("plists")))
+      .filter(col("freq") > 0)
+      .select(col("docId"), scoreUdf(col("freq"), col("doclen")).as("score"))
+  }
+
   /** Multi-term expansion (prefix/range/set/fuzzy/regexp) with constant score
     * — the reference's CONSTANT_SCORE rewrite
     * (`lucene/core/src/java/org/apache/lucene/search/MultiTermQuery.java:38-83`). */
@@ -407,6 +482,7 @@ final class Searcher(
     case PhraseQuery(ts, slop) =>
       require(slop == 0, "only exact phrases (slop=0) are supported")
       phraseFrame(ts, stats, boost)
+    case MultiPhraseQuery(ps) => multiPhraseFrame(ps, stats, boost)
     case PrefixQuery(p) => expansionFrame(col("term").startsWith(p), boost)
     case TermRangeQuery(lo, hi, il, ih) =>
       val lower = lo.map(v => if (il) col("term") >= v else col("term") > v)
@@ -512,4 +588,43 @@ final class Searcher(
 
   /** Total hit count (`lucene/core/src/java/org/apache/lucene/search/TotalHitCountCollector.java:27`). */
   def count(q: Query): Long = scored(q).count()
+
+  /** Second-pass re-ranking — the reference's `QueryRescorer.rescore`
+    * (`lucene/core/src/java/org/apache/lucene/search/QueryRescorer.java`):
+    * take the top `topN` of `base`, combine each hit's score with the rescore
+    * query's score on those docs (`combine = first + weight × second`, 0 when
+    * the rescore query misses), return the top `k` of the combined order. */
+  def rescore(base: Query, rescoreQuery: Query, weight: Double, topN: Int, k: Int): DataFrame = {
+    val firstPass = search(base, topN)
+    val second = scored(rescoreQuery).toDF("docId2", "score2")
+    firstPass.join(second, col("docId") === col("docId2"), "left")
+      .select(col("docId"),
+        (col("score") + lit(weight) * coalesce(col("score2"), lit(0.0))).as("score"))
+      .orderBy(desc("score"), asc("docId")).limit(k)
+  }
+
+  /** More-like-this — the reference's `MoreLikeThis.like(Reader)`
+    * (`lucene/queries/src/java/org/apache/lucene/queries/mlt/MoreLikeThis.java:149`):
+    * analyze `text`, rank its terms by tf × idf (tiebreak: term asc), build a
+    * SHOULD-disjunction of the top `maxQueryTerms`, return the top `k` docs
+    * (excluding `excludeDocId`, the source doc). */
+  def moreLikeThis(text: String, maxQueryTerms: Int, k: Int,
+                   excludeDocId: Option[Long] = None): DataFrame = {
+    val termFreqs = index.analyzer.tokenize(text)
+      .groupBy(_.term).view.mapValues(_.size).toMap
+    val stats = lookupStats(termFreqs.keySet)
+    val ranked = termFreqs.toSeq
+      .flatMap { case (t, f) => stats.get(t).map(s => (t, f * idfPrecise(s.docFreq))) }
+      .sortBy { case (t, s) => (-s, t) }
+      .take(maxQueryTerms)
+      .map(_._1)
+    if (ranked.isEmpty) return emptyFrame
+    val q = BooleanQuery(ranked.map(t => Occur.SHOULD -> TermQuery(t)))
+    val hits = scored(q)
+    val filtered = excludeDocId match {
+      case Some(id) => hits.filter(col("docId") =!= lit(id))
+      case None => hits
+    }
+    filtered.orderBy(desc("score"), asc("docId")).limit(k)
+  }
 }
