@@ -1,24 +1,115 @@
 package graft
+
+import graft.core.SimpleAnalyzer
+import graft.index.{IndexConfig, SegmentMerger}
+import graft.search.{ScoringMode, Searcher}
+import graft.webtext.{PageGen, WebIndex}
 import org.apache.spark.sql.SparkSession
+
+/** Round benchmark (driver contract: ONE JSON line on stdout).
+  *
+  * Three phases:
+  *  1. the driver-harness operator queries on `SPARK_GRAFT_SF_DIR` at
+  *     `local[SPARK_GRAFT_CPUS]` — per-query seconds in `"queries"`;
+  *  2. the north-rule scaling run: the identical index build (synthesis →
+  *     doc-id assignment → segment build → salted merge) over the identical
+  *     deterministic webtext corpus at `local[8]` (N) and `local[32]` (4N),
+  *     with input partitions fixed so only core count varies — reports
+  *     docs/sec at both and `eff = dps(4N) / (4 × dps(N))` (BASELINE.md §2);
+  *  3. BM25 top-k p95 latency over the reference query set (FIXTURES.md §2)
+  *     on the merged index at 4N.
+  *
+  * Env knobs: `SPARK_GRAFT_BENCH_DOCS` (default 40000) scales phase 2/3;
+  * `SPARK_GRAFT_SCALING=0` skips phases 2-3 (fast correctness-iteration loop).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int, shufflePartitions: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Full build incl. merge at `cores`; returns wall seconds.
+    *
+    * The JOB is identical across core counts — 64 input partitions, 64
+    * shuffle partitions, same deterministic corpus bytes — only the number of
+    * executor threads varies, which is the sandbox stand-in for an N- vs
+    * 4N-executor cluster running the same partitioned job. */
+  private def timedBuild(cores: Int, nDocs: Long, p: PageGen.Params): Double = {
+    val spark = session(cores, shufflePartitions = 64)
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-n$cores-").toString
+    val t0 = System.nanoTime()
+    val pages = PageGen.synthesize(spark, nDocs, 64, p)
+    val idx = WebIndex.build(pages, dir, IndexConfig(SimpleAnalyzer, withPositions = true),
+      numPartitions = 64)
+    SegmentMerger.merge(idx, s"$dir-merged", computeMetrics = false)
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    sec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toLong
+    val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
+    val p = PageGen.Params()
+
+    // ---- phase 1: driver-harness operator queries
+    val spark1 = session(cpus, cpus)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark1, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    spark1.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+
+    var scalingJson = ""
+    if (doScaling) {
+      // ---- phase 2: index-build throughput at N=8 vs 4N=32 cores
+      timedBuild(8, 2000, p) // JVM warmup: classloading + codegen, untimed
+      val secN = timedBuild(8, benchDocs, p)
+      val sec4N = timedBuild(32, benchDocs, p)
+      val dpsN = benchDocs / secN
+      val dps4N = benchDocs / sec4N
+      val eff = dps4N / (4.0 * dpsN)
+
+      // ---- phase 3: BM25 top-k p95 latency on the 4N-built merged index
+      val spark3 = session(32, 32)
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-q-").toString
+      val idx = WebIndex.build(PageGen.synthesize(spark3, benchDocs, 32, p), dir,
+        IndexConfig(SimpleAnalyzer, withPositions = true), numPartitions = 32)
+      val (midx, _) = SegmentMerger.merge(idx, s"$dir-merged")
+      val searcher = new Searcher(midx, ScoringMode.PreciseBM25())
+      val queries = PageGen.querySet(p)
+      val lat = queries.map { q =>
+        val t0 = System.nanoTime()
+        searcher.search(q, 10).collect()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      val p50 = lat(lat.size / 2)
+      val p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
+      spark3.stop()
+
+      scalingJson =
+        f""","index_build":{"docs":$benchDocs,"sec_n8":$secN%.1f,"sec_n32":$sec4N%.1f,""" +
+        f""""docs_per_sec_n8":$dpsN%.0f,"docs_per_sec_n32":$dps4N%.0f,""" +
+        f""""scaling_efficiency":$eff%.3f},""" +
+        f""""bm25_topk":{"n_queries":${lat.size},"p50_ms":$p50%.0f,"p95_ms":$p95%.0f}"""
+    }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson}""")
   }
 }

@@ -180,6 +180,42 @@ object SparkEntry {
     "q39_multiphrase" -> ((s, dir) => {
       topk(Indexes.searcher(s, dir).scored(
         MultiPhraseQuery(Seq(Seq("fast", "slow"), Seq("join", "scan")))), 10)
+    }),
+    "q40_parser" -> ((s, dir) => {
+      // classic syntax front-end: parse → same engine as programmatic queries
+      val q = QueryParser.parse("+line +join -spark", SimpleAnalyzer)
+      topk(Indexes.searcher(s, dir).scored(q), 10)
+    }),
+    "q41_span_near" -> ((s, dir) => {
+      docSet(Indexes.searcher(s, dir).scored(
+        SpanNearQuery(Seq("data", "filter"), slop = 3, inOrder = true)))
+    }),
+    "q42_sort_field" -> ((s, dir) => {
+      // TopFieldCollector analog: matches ordered by a doc-values field
+      Indexes.searcher(s, dir).scored(TermQuery("dup"))
+        .join(docsTable(s, dir), col("docId") === col("doc_id"))
+        .orderBy(desc("n_chars"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+    "q43_distinct_facet" -> ((s, dir) => {
+      Facets.distinctCounts(Indexes.searcher(s, dir).scored(TermQuery("dup")),
+          docsTable(s, dir), "doc_id", "lang", "source")
+        .orderBy("lang")
+    }),
+    "q44_sampled_facet" -> ((s, dir) => {
+      Sampling.sampledStringCounts(Indexes.searcher(s, dir).scored(TermQuery("data")),
+          docsTable(s, dir), "doc_id", "lang", rate = 3)
+        .orderBy("lang")
+    }),
+    "q45_block_join" -> ((s, dir) => {
+      val lineitem = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_quantity") >= 48.0)
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderstatus") === "F")
+      BlockJoin.toParent(lineitem, "l_orderkey", col("l_extendedprice"), "max",
+          orders, "o_orderkey")
+        .orderBy(desc("joinScore"), asc("o_orderkey")).limit(10)
+        .select(col("o_orderkey"), round(col("joinScore"), 6).as("join_score"))
     })
   ) ++ graft.pipeline.PipelineQueries.queries
 
@@ -424,6 +460,50 @@ object SparkEntry {
          |     + ${idfSql("(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'scan'))")})
          |    * ${tfNormSql("pf.freq", "dl.dl")} AS score
          |  FROM pf JOIN dl ON pf.doc_id = dl.doc_id
-         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q40_parser" -> topkSql(
+      s"""SELECT a.doc_id, a.score + b.score AS score
+         |FROM (${termScoreSql("line")}) a JOIN (${termScoreSql("join")}) b ON a.doc_id = b.doc_id
+         |WHERE a.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')""".stripMargin, 10),
+
+    "q41_span_near" ->
+      s"""$CTE
+         |SELECT DISTINCT a.doc_id FROM toks a
+         |JOIN toks b ON b.doc_id = a.doc_id AND b.term = 'filter'
+         |  AND b.pos > a.pos AND b.pos - a.pos < 5
+         |WHERE a.term = 'data'
+         |ORDER BY a.doc_id""".stripMargin,
+
+    "q42_sort_field" ->
+      s"""$CTE
+         |SELECT d.doc_id, d.n_chars
+         |FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup') m
+         |JOIN documents d ON m.doc_id = d.doc_id
+         |ORDER BY d.n_chars DESC, d.doc_id LIMIT 10""".stripMargin,
+
+    "q43_distinct_facet" ->
+      s"""$CTE
+         |SELECT d.lang AS lang, count(DISTINCT d.source) AS ndv
+         |FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup') m
+         |JOIN documents d ON m.doc_id = d.doc_id
+         |GROUP BY d.lang ORDER BY lang""".stripMargin,
+
+    "q44_sampled_facet" ->
+      s"""$CTE
+         |SELECT d.lang AS lang, count(*) AS cnt
+         |FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'data') m
+         |JOIN documents d ON m.doc_id = d.doc_id
+         |WHERE m.doc_id % 3 = 0
+         |GROUP BY d.lang ORDER BY lang""".stripMargin,
+
+    "q45_block_join" ->
+      """SELECT o.o_orderkey, round(c.js, 6) AS join_score
+        |FROM orders o
+        |JOIN (SELECT l_orderkey, max(l_extendedprice) AS js
+        |      FROM lineitem WHERE l_quantity >= 48.0 GROUP BY l_orderkey) c
+        |  ON o.o_orderkey = c.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |ORDER BY c.js DESC, o.o_orderkey LIMIT 10""".stripMargin
   ) ++ graft.pipeline.PipelineQueries.oracleSql
 }

@@ -106,7 +106,7 @@ object IndexBuilder {
       val (cfg, done) = bc.value
       val pid = TaskContext.getPartitionId()
       if (done.contains(pid)) Iterator.empty
-      else new SegmentFlusher(cfg, pid, docs)
+      else new SegmentFlusher(cfg, 0L, pid, docs)
     }
 
     staged.write
@@ -114,30 +114,50 @@ object IndexBuilder {
       .partitionBy("kind")
       .parquet(s"$dir/data")
 
-    // Global term statistics: the only shuffle of the build. Partial (map-side)
-    // aggregation makes this skew-proof — a head term contributes one partial
-    // count per task, not its postings.
-    val data = spark.read.parquet(s"$dir/data")
-    data.filter($"kind" === 1)
-      .groupBy($"term")
-      .agg(sum($"df").cast("long").as("df"), sum($"ttf").as("ttf"))
-      .write.mode("overwrite").parquet(s"$dir/term_stats")
-
-    // Collection statistics (docCount, sumTotalTermFreq) from the manifest.
-    data.filter($"kind" === 2)
-      .agg(sum($"numDocs").as("docCount"), sum($"sumDoclen").as("sumTotalTermFreq"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
-
+    refreshStats(spark, dir)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/analyzer"), config.analyzer.name)
 
     InvertedIndex.open(spark, dir)
   }
 
+  /** Append one micro-batch as new segments under a disjoint segment-id
+    * namespace — the incremental surface behind [[graft.streaming.StreamingIndexer]]
+    * (the reference's flushed-but-merge-pending NRT segments,
+    * `lucene/core/src/java/org/apache/lucene/index/DirectoryReader.java:48`).
+    * Does NOT refresh global stats; callers batch that via [[refreshStats]]
+    * (the `SearcherManager.maybeRefresh` analog). */
+  private[graft] def appendBatch(batch: Dataset[InputDoc], dir: String,
+                                 config: IndexConfig, segNamespace: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(config)
+    batch.mapPartitions { docs =>
+      new SegmentFlusher(bc.value, segNamespace, TaskContext.getPartitionId(), docs)
+    }.write.mode("append").partitionBy("kind").parquet(s"$dir/data")
+  }
+
+  /** Recompute global term/collection statistics from the committed segment
+    * data. The only shuffle of the build; partial (map-side) aggregation makes
+    * it skew-proof — a head term contributes one partial count per task, not
+    * its postings. */
+  def refreshStats(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val data = spark.read.parquet(s"$dir/data")
+    data.filter($"kind" === 1)
+      .groupBy($"term")
+      .agg(sum($"df").cast("long").as("df"), sum($"ttf").as("ttf"))
+      .write.mode("overwrite").parquet(s"$dir/term_stats")
+    data.filter($"kind" === 2)
+      .agg(sum($"numDocs").as("docCount"), sum($"sumDoclen").as("sumTotalTermFreq"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
   /** Per-partition segment accumulator (the DWPT analog). Streams input docs,
     * flushes a segment whenever the doc budget is reached, and emits one
     * manifest row per flushed segment. */
-  private final class SegmentFlusher(cfg: IndexConfig, pid: Int, docs: Iterator[InputDoc])
+  private final class SegmentFlusher(cfg: IndexConfig, segNamespace: Long, pid: Int,
+                                     docs: Iterator[InputDoc])
       extends Iterator[StageRow] {
 
     private var flushOrdinal = 0
@@ -174,7 +194,7 @@ object IndexBuilder {
 
     private def flush(): Unit = {
       if (segDocs.isEmpty) return
-      val segmentId = pid.toLong * 4096L + flushOrdinal
+      val segmentId = segNamespace + pid.toLong * 4096L + flushOrdinal
       var postingsFlushed = 0L
       segDocs.foreach { case (id, len) =>
         pending += StageRow.doc(segmentId, id, len, SmallFloat.intToByte4(len))

@@ -63,13 +63,17 @@ object SegmentMerger {
       index: InvertedIndex,
       targetDir: String,
       mergeRound: Int = 1,
-      targetRowsPerGroup: Int = 8): (InvertedIndex, MergeMetrics) = {
+      targetRowsPerGroup: Int = 8,
+      /** compute driver-side row/block counts (two extra postings scans);
+        * per-partition lineage in `merge_manifest` is written regardless */
+      computeMetrics: Boolean = true): (InvertedIndex, MergeMetrics) = {
     val spark = index.spark
     import spark.implicits._
 
     val postings = index.postings
-    val rowsIn = postings.count()
-    val blocksIn = postings.select(sum(size(col("blocks")))).as[Long].head()
+    val rowsIn = if (computeMetrics) postings.count() else -1L
+    val blocksIn =
+      if (computeMetrics) postings.select(sum(size(col("blocks")))).as[Long].head() else -1L
 
     // (1)+(2) skew pre-pass: head terms only — broadcastable by construction.
     val headTerms: Map[String, Int] = postings
@@ -166,8 +170,9 @@ object SegmentMerger {
       .drop("segmentId")
       .write.mode("append").parquet(s"$targetDir/merge_manifest")
 
-    val rowsOut = out.postings.count()
-    val blocksOut = out.postings.select(sum(size(col("blocks")))).as[Long].head()
+    val rowsOut = if (computeMetrics) out.postings.count() else -1L
+    val blocksOut =
+      if (computeMetrics) out.postings.select(sum(size(col("blocks")))).as[Long].head() else -1L
     (out, MergeMetrics(mergeRound, rowsIn, rowsOut, blocksIn, blocksOut, headTerms.size))
   }
 }

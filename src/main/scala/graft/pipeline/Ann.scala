@@ -38,12 +38,27 @@ object Ann {
   }
 
   /** All pairs with cosine ≥ `tau` (exact, all-pairs — the oracle/small path;
-    * compose [[lshBuckets]] + within-bucket pairs for the sublinear path). */
+    * compose [[lshBuckets]] + within-bucket pairs for the sublinear path).
+    *
+    * Each vector is L2-normalized ONCE up front (linear pass), so the
+    * quadratic pair stage is a single tight-loop dot product per pair — not
+    * three interpreted higher-order aggregates. The loop is a compiled Scala
+    * function over primitive arrays; at n² pair counts that is the difference
+    * between seconds and minutes. */
   def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
                   tau: Double): DataFrame = {
-    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
-    e.toDF("a", "va").join(e.toDF("b", "vb"), col("a") < col("b"))
-      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+    val e = embeddings.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("v"), norm(col(vecCol)).as("nv"))
+    val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+      var s = 0.0
+      var i = 0
+      val n = a.length
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    })
+    e.toDF("a", "va", "na").join(e.toDF("b", "vb", "nb"), col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dotUdf(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= tau)
   }
 

@@ -42,7 +42,11 @@ object PipelineQueries {
         .orderBy("a", "b")
     }),
     "q19_dedup_ngram" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id", tau = 0.8)
+      // LSH-bucketed scale path with 1-row bands: P(miss | j ≥ 0.8) ≤
+      // (1-0.8)^16 ≈ 7e-12, so it reproduces the exact all-pairs oracle;
+      // Dedup.ngramJaccardPairs is the exact small-scale variant.
+      Dedup.minhashLshPairs(documents(s, dir), "text", "doc_id", tau = 0.8,
+          numHashes = 16, bands = 16)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a", "b")
     }),

@@ -87,6 +87,59 @@ object Grouping {
     topKPerGroup(matched, corpus, docIdCol, groupDim, 1).drop("rank")
 }
 
+/** Sampled facet counting — the reference's `RandomSamplingFacetsCollector`
+  * (`lucene/facet/src/java/org/apache/lucene/facet/RandomSamplingFacetsCollector.java`):
+  * counts over a subsample of the matched docs. Here the sample is the
+  * deterministic residue class `docId % rate == 0` so an external SQL oracle
+  * can reproduce it exactly; swap in `df.sample(seed)` for production use.
+  */
+object Sampling {
+  def sampledStringCounts(matched: DataFrame, corpus: DataFrame, docIdCol: String,
+                          dim: String, rate: Int): DataFrame =
+    Facets.stringCounts(matched.filter(col("docId") % rate === 0), corpus, docIdCol, dim)
+}
+
+/** Index-time parent/child join — the reference's block join
+  * (`lucene/join/src/java/org/apache/lucene/search/join/ToParentBlockJoinQuery.java:68`):
+  * child docs matching a child query are aggregated (max/sum/avg/count) onto
+  * their parent. Lucene co-locates child+parent in one doc block; relationally
+  * the parent key IS the block, so the join is a keyed aggregation — and at
+  * scale it broadcast- or shuffle-joins like any fact/dim join.
+  */
+object BlockJoin {
+
+  /** @param children     matched child rows (already filtered by the child query)
+    * @param childKeyCol  the parent-key column on the child side
+    * @param childScore   per-child score expression
+    * @param scoreMode    max | sum | avg | count (`ScoreMode` analog)
+    * @param parents      parent table (already filtered by the parent query)
+    * @param parentKeyCol parent-key column on the parent side
+    * @return parents joined with `joinScore`
+    */
+  def toParent(children: DataFrame, childKeyCol: String,
+               childScore: org.apache.spark.sql.Column, scoreMode: String,
+               parents: DataFrame, parentKeyCol: String): DataFrame = {
+    val aggFn = scoreMode match {
+      case "max" => max(childScore)
+      case "sum" => sum(childScore)
+      case "avg" => avg(childScore)
+      case "count" => count(lit(1)).cast("double")
+      case other => throw new IllegalArgumentException(s"scoreMode: $other")
+    }
+    val agg = children.groupBy(col(childKeyCol).as("blockKey"))
+      .agg(aggFn.as("joinScore"))
+    parents.join(agg, parents(parentKeyCol) === col("blockKey"), "inner")
+      .drop("blockKey")
+  }
+
+  /** Children of matching parents — `ToChildBlockJoinQuery`
+    * (`lucene/join/src/java/org/apache/lucene/search/join/ToChildBlockJoinQuery.java`). */
+  def toChildren(parents: DataFrame, parentKeyCol: String,
+                 children: DataFrame, childKeyCol: String): DataFrame =
+    children.join(parents.select(col(parentKeyCol).as("blockKey")).distinct(),
+      children(childKeyCol) === col("blockKey"), "left_semi")
+}
+
 /** Query-time join — the reference's `JoinUtil.createJoinQuery`
   * (`lucene/join/src/java/org/apache/lucene/search/join/JoinUtil.java:56`):
   * collect the join-field values of docs matching a "from" query, then match

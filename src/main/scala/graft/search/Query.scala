@@ -74,6 +74,13 @@ final case class ConstantScoreQuery(query: Query) extends Query
   * `lucene/core/src/java/org/apache/lucene/search/DisjunctionMaxQuery.java:44`. */
 final case class DisjunctionMaxQuery(disjuncts: Seq[Query], tieBreaker: Float = 0f) extends Query
 
+/** Positional proximity: all `terms` occur within a window of
+  * `terms.size + slop` positions, optionally in order — the span algebra's
+  * near operator, as a (constant-score) doc-set predicate. Reference:
+  * `lucene/queries/src/java/org/apache/lucene/queries/spans/SpanNearQuery.java`,
+  * `lucene/core/src/java/org/apache/lucene/search/SloppyPhraseMatcher.java:54`. */
+final case class SpanNearQuery(terms: Seq[String], slop: Int, inOrder: Boolean) extends Query
+
 /** All docs, score 1. Reference: `search/MatchAllDocsQuery.java:23`. */
 case object MatchAllDocsQuery extends Query
 

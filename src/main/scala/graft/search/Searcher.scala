@@ -5,6 +5,51 @@ import graft.index.InvertedIndex
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 
+/** Positional window matcher for span-near verification (executor-side). */
+object SpanMatcher extends Serializable {
+  /** True iff one position can be chosen from each array (all distinct) such
+    * that the span max-min < window, and (if inOrder) choices are strictly
+    * increasing in array order. Backtracking over small per-doc lists. */
+  def matches(arrays: Array[Array[Int]], window: Int, inOrder: Boolean): Boolean = {
+    val k = arrays.length
+    val chosen = new Array[Int](k)
+    def rec(i: Int): Boolean = {
+      if (i == k) {
+        var mn = Int.MaxValue; var mx = Int.MinValue
+        var j = 0
+        while (j < k) { val p = chosen(j); if (p < mn) mn = p; if (p > mx) mx = p; j += 1 }
+        mx - mn < window
+      } else {
+        val ps = arrays(i)
+        var j = 0
+        while (j < ps.length) {
+          val p = ps(j)
+          var ok = true
+          var m = 0
+          while (ok && m < i) {
+            if (chosen(m) == p) ok = false
+            else if (inOrder && chosen(m) >= p) ok = false
+            m += 1
+          }
+          if (ok) {
+            // prune: current partial span already too wide
+            var mn = p; var mx = p
+            var m2 = 0
+            while (m2 < i) { val q = chosen(m2); if (q < mn) mn = q; if (q > mx) mx = q; m2 += 1 }
+            if (mx - mn < window) {
+              chosen(i) = p
+              if (rec(i + 1)) return true
+            }
+          }
+          j += 1
+        }
+        false
+      }
+    }
+    rec(0)
+  }
+}
+
 /** A decoded, scorable posting entry. */
 final case class Hit(docId: Long, freq: Int, doclen: Int)
 /** A decoded posting entry with positions (phrase verification). */
@@ -139,6 +184,7 @@ final class Searcher(
     case SynonymQuery(ts) => ts.toSet
     case PhraseQuery(ts, _) => ts.toSet
     case MultiPhraseQuery(ps) => ps.flatten.toSet
+    case SpanNearQuery(ts, _, _) => ts.toSet
     case BooleanQuery(cs, _) => cs.flatMap(c => exactTerms(c._2)).toSet
     case BoostQuery(inner, _) => exactTerms(inner)
     case ConstantScoreQuery(inner) => exactTerms(inner)
@@ -437,6 +483,45 @@ final class Searcher(
       .select(col("docId"), scoreUdf(col("freq"), col("doclen")).as("score"))
   }
 
+  /** Span-near: docs where all terms occur within a window of
+    * `terms.size + slop` positions (optionally in order), constant-scored.
+    * Two-phase like the phrase path: cheap doc-level conjunction via the
+    * grouped union, then the positional window verify
+    * (`lucene/queries/src/java/org/apache/lucene/queries/spans/SpanNearQuery.java`).
+    * Duplicate query terms must match *distinct* occurrences. */
+  private def spanNearFrame(terms: Seq[String], slop: Int, inOrder: Boolean,
+                            stats: Map[String, TermStats], boost: Double): DataFrame = {
+    if (terms.exists(t => !stats.contains(t))) return emptyFrame
+    val window = terms.size + slop
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      index.postings
+        .filter(col("term") === lit(t))
+        .select(explode(col("blocks")).as("b")).select("b.*")
+        .as[PostingBlock]
+        .mapPartitions { it =>
+          it.flatMap { b =>
+            val d = PostingsCodec.decodeBlock(b, withPositions = true)
+            Iterator.tabulate(d.docs.length)(j => (d.docs(j), d.positions(j)))
+          }
+        }
+        .toDF("docId", "positions")
+        .withColumn("idx", lit(i))
+    }
+    val n = terms.size
+    val matchUdf = udf((plists: Seq[Row]) => {
+      val arrays: Array[Array[Int]] = plists.sortBy(_.getInt(0))
+        .map(_.getSeq[Int](1).toArray).toArray
+      SpanMatcher.matches(arrays, window, inOrder)
+    })
+    perTerm.reduce(_ unionAll _)
+      .groupBy("docId")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("nterms"),
+        collect_list(struct(col("idx"), col("positions"))).as("plists"))
+      .filter(col("nterms") === lit(n))
+      .filter(matchUdf(col("plists")))
+      .select(col("docId"), lit(boost).as("score"))
+  }
+
   /** Multi-term expansion (prefix/range/set/fuzzy/regexp) with constant score
     * — the reference's CONSTANT_SCORE rewrite
     * (`lucene/core/src/java/org/apache/lucene/search/MultiTermQuery.java:38-83`). */
@@ -483,6 +568,7 @@ final class Searcher(
       require(slop == 0, "only exact phrases (slop=0) are supported")
       phraseFrame(ts, stats, boost)
     case MultiPhraseQuery(ps) => multiPhraseFrame(ps, stats, boost)
+    case SpanNearQuery(ts, slop, inOrder) => spanNearFrame(ts, slop, inOrder, stats, boost)
     case PrefixQuery(p) => expansionFrame(col("term").startsWith(p), boost)
     case TermRangeQuery(lo, hi, il, ih) =>
       val lower = lo.map(v => if (il) col("term") >= v else col("term") > v)

@@ -24,19 +24,13 @@ class WebtextSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var index: InvertedIndex = _
 
   override def beforeAll(): Unit = {
-    spark = SparkSession.builder()
-      .master("local[4]")
-      .appName("webtext-spec")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = SparkTestEnv.spark
     dir = java.nio.file.Files.createTempDirectory("graft-webtext-").toString
     index = WebIndex.build(PageGen.synthesize(spark, nDocs, 4, p), dir,
       IndexConfig(SimpleAnalyzer, withPositions = true), numPartitions = 4)
   }
 
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+  // shared SparkTestEnv session — never stopped here (other suites use it)
 
   test("synthesis is deterministic and partitioning-independent") {
     val a = PageGen.synthesize(spark, 200, 2, p).collect().sortBy(_.url)
