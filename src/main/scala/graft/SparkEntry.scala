@@ -22,6 +22,22 @@ object Indexes {
 
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     new Searcher(documentsIndex(spark, sfDir), ScoringMode.PreciseBM25())
+
+  /** A second indexed field — the first 5 tokens of `text` (a "title"
+    * pseudo-field) — giving the multi-field operators (BM25F, blended term)
+    * per-field statistics that differ from the body's. */
+  def titleIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#title", {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-title-").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").as("docId"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          InputDoc(id, SimpleAnalyzer.tokenize(text).take(5).map(_.term).mkString(" "))
+        }
+      IndexBuilder.build(docs, dir, IndexConfig(SimpleAnalyzer, withPositions = false))
+    })
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -216,6 +232,19 @@ object SparkEntry {
           orders, "o_orderkey")
         .orderBy(desc("joinScore"), asc("o_orderkey")).limit(10)
         .select(col("o_orderkey"), round(col("joinScore"), 6).as("join_score"))
+    }),
+    "q46_field_exists" -> ((s, dir) => {
+      docSet(MultiField.fieldExists(Indexes.titleIndex(s, dir)))
+    }),
+    "q47_bm25f" -> ((s, dir) => {
+      topk(MultiField.combinedField(
+        Seq(Indexes.titleIndex(s, dir) -> 2.0, Indexes.documentsIndex(s, dir) -> 1.0),
+        "spark"), 10)
+    }),
+    "q48_blended" -> ((s, dir) => {
+      topk(MultiField.blendedTerm(
+        Seq(Indexes.titleIndex(s, dir) -> 1.0, Indexes.documentsIndex(s, dir) -> 1.0),
+        "spark"), 10)
     })
   ) ++ graft.pipeline.PipelineQueries.queries
 
@@ -504,6 +533,68 @@ object SparkEntry {
         |      FROM lineitem WHERE l_quantity >= 48.0 GROUP BY l_orderkey) c
         |  ON o.o_orderkey = c.l_orderkey
         |WHERE o.o_orderstatus = 'F'
-        |ORDER BY c.js DESC, o.o_orderkey LIMIT 10""".stripMargin
+        |ORDER BY c.js DESC, o.o_orderkey LIMIT 10""".stripMargin,
+
+    "q46_field_exists" ->
+      s"""$CTE
+         |SELECT DISTINCT doc_id FROM toks WHERE pos < 5 ORDER BY doc_id""".stripMargin,
+
+    // title pseudo-field = tokens with pos < 5; BM25F: weighted tf/length
+    // blended into one pseudo-field, df = docs matching in any field
+    "q47_bm25f" ->
+      s"""$CTE, ttl AS (
+         |  SELECT doc_id, count(*) AS tlen,
+         |         count(*) FILTER (term = 'spark') AS tf_t
+         |  FROM toks WHERE pos < 5 GROUP BY doc_id
+         |), bdy AS (
+         |  SELECT doc_id, count(*) AS blen,
+         |         count(*) FILTER (term = 'spark') AS tf_b
+         |  FROM toks GROUP BY doc_id
+         |), cavg AS (
+         |  SELECT (2.0 * (SELECT sum(tlen) FROM ttl) + 1.0 * (SELECT sum(blen) FROM bdy))
+         |         / (SELECT n FROM stats) AS avgdl
+         |), cf AS (
+         |  SELECT b.doc_id,
+         |         2.0 * coalesce(t.tf_t, 0) + 1.0 * b.tf_b AS freq,
+         |         2.0 * coalesce(t.tlen, 0) + 1.0 * b.blen AS dl
+         |  FROM bdy b LEFT JOIN ttl t ON b.doc_id = t.doc_id
+         |  WHERE 2.0 * coalesce(t.tf_t, 0) + 1.0 * b.tf_b > 0
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id,
+         |    ${idfSql("(SELECT count(*) FROM cf)")}
+         |    * (freq / (freq + 1.2 * (1 - 0.75 + 0.75 * dl / (SELECT avgdl FROM cavg)))) AS score
+         |  FROM cf
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // blended term: per-field BM25 with df blended to the max across fields
+    "q48_blended" ->
+      s"""$CTE, ttl AS (
+         |  SELECT doc_id, count(*) AS tlen,
+         |         count(*) FILTER (term = 'spark') AS tf_t
+         |  FROM toks WHERE pos < 5 GROUP BY doc_id
+         |), bdy AS (
+         |  SELECT doc_id, count(*) AS blen,
+         |         count(*) FILTER (term = 'spark') AS tf_b
+         |  FROM toks GROUP BY doc_id
+         |), bdf AS (
+         |  SELECT greatest(
+         |    (SELECT count(*) FROM ttl WHERE tf_t > 0),
+         |    (SELECT count(*) FROM bdy WHERE tf_b > 0)) AS df
+         |), tavg AS (SELECT (SELECT sum(tlen) FROM ttl)::DOUBLE / (SELECT n FROM stats) AS avgdl),
+         |bavg AS (SELECT (SELECT sum(blen) FROM bdy)::DOUBLE / (SELECT n FROM stats) AS avgdl)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id, sum(s) AS score FROM (
+         |    SELECT doc_id,
+         |      ${idfSql("(SELECT df FROM bdf)")}
+         |      * (tf_t / (tf_t + 1.2 * (1 - 0.75 + 0.75 * tlen / (SELECT avgdl FROM tavg)))) AS s
+         |    FROM ttl WHERE tf_t > 0
+         |    UNION ALL
+         |    SELECT doc_id,
+         |      ${idfSql("(SELECT df FROM bdf)")}
+         |      * (tf_b / (tf_b + 1.2 * (1 - 0.75 + 0.75 * blen / (SELECT avgdl FROM bavg)))) AS s
+         |    FROM bdy WHERE tf_b > 0
+         |  ) u GROUP BY doc_id
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
   ) ++ graft.pipeline.PipelineQueries.oracleSql
 }

@@ -199,7 +199,11 @@ object IndexBuilder {
       segDocs.foreach { case (id, len) =>
         pending += StageRow.doc(segmentId, id, len, SmallFloat.intToByte4(len))
       }
-      terms.foreach { case (term, buf) =>
+      // flush terms in sorted order, like the reference's FreqProxTermsWriter
+      // (`lucene/core/src/java/org/apache/lucene/index/FreqProxTermsWriter.java:43`)
+      // — and, relationally, so parquet row-group min/max stats on `term`
+      // prune term-lookup scans (the block-tree term dictionary analog).
+      terms.toSeq.sortBy(_._1).foreach { case (term, buf) =>
         // sort this term's postings by doc id (input order within a partition
         // is not guaranteed)
         val n = buf.docIds.length

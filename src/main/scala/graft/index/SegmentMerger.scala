@@ -108,7 +108,9 @@ object SegmentMerger {
         rows.foreach { case (t, s, bs) =>
           groups.getOrElseUpdate((t, s), new mutable.ArrayBuffer) += bs
         }
-        groups.iterator.flatMap { case ((term, salt), rowBlocks) =>
+        // emit merged terms in sorted order so parquet min/max stats on `term`
+        // prune lookups over the merged segments too
+        groups.toSeq.sortBy(_._1).iterator.flatMap { case ((term, salt), rowBlocks) =>
           val decoded = rowBlocks.iterator.flatten.map { b =>
             PostingsCodec.decodeBlock(b, withPositions = b.positions.nonEmpty)
           }.toVector

@@ -1,0 +1,113 @@
+package graft.search
+
+import graft.core._
+import graft.index.InvertedIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-field scoring over per-field indexes.
+  *
+  * The reference keys every index structure by field (postings, norms, stats
+  * are all per-field — SURVEY.md §1.1); relationally each field is its own
+  * index (a partition of the logical `(field, term)`-keyed postings table).
+  * This module implements the two cross-field scored operators on top:
+  *
+  *  - [[combinedField]] — `CombinedFieldQuery` / BM25F
+  *    (`lucene/core/src/java/org/apache/lucene/search/CombinedFieldQuery.java:98`):
+  *    per-field term frequencies and field lengths are merged with field
+  *    weights into ONE pseudo-field (`freq = Σ_f w_f·tf_f`,
+  *    `dl = Σ_f w_f·len_f`), scored once with BM25 against blended collection
+  *    statistics — so a match in a boosted short field (title) outranks the
+  *    same tf in a long body, the BM25F model.
+  *  - [[blendedTerm]] — `BlendedTermQuery`
+  *    (`lucene/core/src/java/org/apache/lucene/search/BlendedTermQuery.java:47`):
+  *    each field keeps its own length normalization but document frequency is
+  *    blended across fields (max, the reference's default), and per-field
+  *    scores are summed — the "same term, comparable idf across fields" model.
+  */
+object MultiField {
+
+  /** Decoded hits of one term in one field's index: `(docId, freq, doclen)`.
+    * One partition-pruned scan of that index's postings. */
+  def termHits(index: InvertedIndex, term: String): DataFrame = {
+    val spark = index.spark
+    import spark.implicits._
+    index.postings
+      .filter(col("term") === lit(term))
+      .select(explode(col("blocks")).as("b"))
+      .select("b.*")
+      .as[PostingBlock]
+      .mapPartitions { it =>
+        it.flatMap { b =>
+          val d = PostingsCodec.decodeBlock(b)
+          Iterator.tabulate(d.docs.length)(i => (d.docs(i), d.freqs(i), d.doclens(i)))
+        }
+      }.toDF("docId", "freq", "doclen")
+  }
+
+  private def idf(docCount: Long, df: Long): Double =
+    math.log(1 + (docCount - df + 0.5) / (df + 0.5))
+
+  /** BM25F: one blended-pseudo-field BM25 score per doc.
+    *
+    * @param fields (field index, field weight); all indexes over the same doc
+    *               set (docCount from the widest)
+    */
+  def combinedField(fields: Seq[(InvertedIndex, Double)], term: String,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fields.nonEmpty)
+    val docCount = fields.map(_._1.collectionStats.docCount).max
+    // blended average length: Σ_f w_f · sumTTF_f / docCount
+    val avgdl = fields.map { case (ix, w) => w * ix.collectionStats.sumTotalTermFreq }.sum / docCount
+    val perField = fields.map { case (ix, w) =>
+      termHits(ix, term).select(col("docId"), (col("freq") * lit(w)).as("wfreq"))
+    }
+    val freqs = perField.reduce(_ unionAll _)
+      .groupBy("docId").agg(sum("wfreq").as("freq"))
+    // the pseudo-field length sums ALL fields' weighted lengths — including
+    // fields where the term did not match (the merged-norm semantics of
+    // `CombinedFieldQuery`'s single length normalization)
+    val dls = fields.map { case (ix, w) =>
+      ix.docs.select(col("docId"), (col("doclen") * lit(w)).as("wdl"))
+    }.reduce(_ unionAll _)
+      .groupBy("docId").agg(sum("wdl").as("dl"))
+    val union = freqs.join(dls, "docId")
+    // df of the pseudo-field = docs matching in ANY field (TermStates analog:
+    // one driver-side stats action per query)
+    val df = union.count()
+    if (df == 0) return union.select(col("docId"), lit(0.0).as("score")).limit(0)
+    val w = idf(docCount, df)
+    union.select(col("docId"),
+      (lit(w) * (col("freq") / (col("freq") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))))
+        .as("score"))
+  }
+
+  /** BlendedTermQuery: per-field BM25 with blended (max) document frequency,
+    * scores summed across fields. */
+  def blendedTerm(fields: Seq[(InvertedIndex, Double)], term: String,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fields.nonEmpty)
+    val dfs = fields.map { case (ix, _) =>
+      ix.termStats.filter(col("term") === lit(term))
+        .select("df").collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    }
+    val blendedDf = dfs.max
+    val scored = fields.map { case (ix, boost) =>
+      val cs = ix.collectionStats
+      val avgdl = cs.sumTotalTermFreq / cs.docCount.toDouble
+      val w = idf(cs.docCount, math.min(blendedDf, cs.docCount)) * boost
+      termHits(ix, term).select(col("docId"),
+        (lit(w) * (col("freq") / (col("freq") + lit(k1) * (lit(1 - b) + lit(b) * col("doclen") / lit(avgdl)))))
+          .as("score"))
+    }
+    scored.reduce(_ unionAll _)
+      .groupBy("docId").agg(sum("score").as("score"))
+  }
+
+  /** FieldExistsQuery analog for an indexed field
+    * (`lucene/core/src/java/org/apache/lucene/search/FieldExistsQuery.java:41`):
+    * docs with at least one token in the field, constant-scored. */
+  def fieldExists(index: InvertedIndex, boost: Double = 1.0): DataFrame =
+    index.docs.filter(col("doclen") > 0)
+      .select(col("docId"), lit(boost).as("score"))
+}
