@@ -245,6 +245,30 @@ object SparkEntry {
       topk(MultiField.blendedTerm(
         Seq(Indexes.titleIndex(s, dir) -> 1.0, Indexes.documentsIndex(s, dir) -> 1.0),
         "spark"), 10)
+    }),
+    "q49_lm_dirichlet" -> ((s, dir) => {
+      topk(new Searcher(Indexes.documentsIndex(s, dir), ScoringMode.PreciseLMDirichlet())
+        .scored(TermQuery("spark")), 10)
+    }),
+    "q50_top_groups" -> ((s, dir) => {
+      Grouping.topGroups(Indexes.searcher(s, dir).scored(TermQuery("dup")),
+          docsTable(s, dir), "doc_id", "source", nGroups = 3, kPerGroup = 2)
+        .select(col("source"), col("groupRank").cast("long").as("group_rank"),
+          col("docId").as("doc_id"), round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("group_rank", "rank")
+    }),
+    "q51_taxonomy" -> ((s, dir) => {
+      Facets.taxonomyCounts(Indexes.searcher(s, dir).scored(TermQuery("dup")),
+          docsTable(s, dir), "doc_id", Seq("lang", "source"))
+        .orderBy("lang", "source")
+    }),
+    // Lucene float-parity BM25 (byte-quantized norms, 256-entry cache, float
+    // ops) — not SQL-expressible, so driver records the weaker rows-only
+    // check; rank-parity vs the reference model is covered by CoreSpec.
+    "q52_lucene_bm25" -> ((s, dir) => {
+      topk(new Searcher(Indexes.documentsIndex(s, dir), ScoringMode.LuceneBM25())
+        .scored(TermQuery("spark")), 10)
     })
   ) ++ graft.pipeline.PipelineQueries.queries
 
@@ -595,6 +619,42 @@ object SparkEntry {
          |      * (tf_b / (tf_b + 1.2 * (1 - 0.75 + 0.75 * blen / (SELECT avgdl FROM bavg)))) AS s
          |    FROM bdy WHERE tf_b > 0
          |  ) u GROUP BY doc_id
-         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q49_lm_dirichlet" ->
+      s"""$CTE, s2 AS (SELECT sum(dl) AS total FROM dl),
+         |tstat AS (SELECT count(*) AS ttf FROM toks WHERE term = 'spark')
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT tf.doc_id,
+         |    greatest(
+         |      ln(1 + tf.freq / (2000.0 * (((SELECT ttf FROM tstat) + 1.0) / ((SELECT total FROM s2) + 1.0))))
+         |      + ln(2000.0 / (dl.dl + 2000.0)), 0.0) AS score
+         |  FROM (SELECT doc_id, count(*) AS freq FROM toks WHERE term = 'spark' GROUP BY doc_id) tf
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q50_top_groups" ->
+      s"""$CTE
+         |, ranked AS (
+         |  SELECT d.source AS source, sc.doc_id AS doc_id, sc.score AS score,
+         |         row_number() OVER (PARTITION BY d.source ORDER BY sc.score DESC, sc.doc_id) AS rank
+         |  FROM (${termScoreSql("dup")}) sc JOIN documents d ON sc.doc_id = d.doc_id
+         |), heads AS (
+         |  SELECT source, row_number() OVER (ORDER BY score DESC, source) AS group_rank
+         |  FROM ranked WHERE rank = 1
+         |)
+         |SELECT r.source, h.group_rank, r.doc_id, round(r.score, 6) AS score, r.rank
+         |FROM ranked r JOIN heads h ON r.source = h.source
+         |WHERE r.rank <= 2 AND h.group_rank <= 3
+         |ORDER BY h.group_rank, r.rank""".stripMargin,
+
+    "q51_taxonomy" ->
+      s"""$CTE
+         |SELECT coalesce(d.lang, '<ALL>') AS lang, coalesce(d.source, '<ALL>') AS source,
+         |       count(*) AS cnt
+         |FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup') m
+         |JOIN documents d ON m.doc_id = d.doc_id
+         |GROUP BY ROLLUP (d.lang, d.source)
+         |ORDER BY lang, source""".stripMargin
   ) ++ graft.pipeline.PipelineQueries.oracleSql
 }

@@ -55,14 +55,22 @@ object StageRow {
   *                        identically)
   * @param withPositions   index positions (needed for phrase queries)
   * @param flushDocBudget  max docs accumulated per in-memory segment before
-  *                        flushing — the analog of the reference's
-  *                        flush-by-RAM DWPT policy
-  *                        (`lucene/core/src/java/org/apache/lucene/index/IndexWriterConfig.java:83`)
+  *                        flushing
+  * @param flushTokenBudget max accumulated tokens per in-memory segment — the
+  *                        RAM proxy; the analog of the reference's
+  *                        flush-by-RAM DWPT policy (16 MB default,
+  *                        `lucene/core/src/java/org/apache/lucene/index/IndexWriterConfig.java:83`).
+  *                        Bounds per-task memory regardless of partition
+  *                        size, which is what keeps N concurrent flush tasks
+  *                        GC-stable on any executor — a partition-sized
+  *                        buffer would scale per-task memory with input
+  *                        partition size, the classic oversubscription trap.
   */
 final case class IndexConfig(
     analyzer: Analyzer = SimpleAnalyzer,
     withPositions: Boolean = true,
-    flushDocBudget: Int = 1 << 18)
+    flushDocBudget: Int = 1 << 18,
+    flushTokenBudget: Long = 1L << 19)
 
 /** Distributed inverted-index build: the reference's
   * IndexWriter/DocumentsWriterPerThread dataflow
@@ -235,7 +243,7 @@ object IndexBuilder {
     override def hasNext: Boolean = {
       while (pending.isEmpty && docs.hasNext) {
         addDoc(docs.next())
-        if (segDocs.length >= cfg.flushDocBudget) flush()
+        if (segDocs.length >= cfg.flushDocBudget || segSumDoclen >= cfg.flushTokenBudget) flush()
       }
       if (pending.isEmpty && segDocs.nonEmpty) flush()
       pending.nonEmpty
@@ -259,7 +267,12 @@ final class InvertedIndex private (
     val spark: SparkSession,
     val dir: String,
     val analyzer: Analyzer,
-    val collectionStats: CollectionStats) extends Serializable {
+    val collectionStats: CollectionStats,
+    /** a merged index holds only rewritten postings; docs/segments/global
+      * stats are read through the parent chain (segment data is immutable —
+      * a merge is a postings rewrite + manifest swap, the Iceberg commit
+      * model; no bulk copying of unchanged sections) */
+    val parent: Option[InvertedIndex]) extends Serializable {
 
   private def data: DataFrame = spark.read.parquet(s"$dir/data")
 
@@ -267,22 +280,39 @@ final class InvertedIndex private (
     data.filter(col("kind") === 1)
       .select("term", "segmentId", "blockGroup", "df", "ttf", "blocks")
 
-  def docs: DataFrame =
-    data.filter(col("kind") === 0).select("docId", "segmentId", "doclen", "dlb")
+  def docs: DataFrame = parent match {
+    case Some(p) => p.docs
+    case None => data.filter(col("kind") === 0).select("docId", "segmentId", "doclen", "dlb")
+  }
 
-  def segments: DataFrame =
-    data.filter(col("kind") === 2)
-      .select("segmentId", "partitionId", "numDocs", "sumDoclen", "numTerms",
-        "postingsFlushed", "flushOrdinal")
+  def segments: DataFrame = parent match {
+    case Some(p) => p.segments
+    case None =>
+      data.filter(col("kind") === 2)
+        .select("segmentId", "partitionId", "numDocs", "sumDoclen", "numTerms",
+          "postingsFlushed", "flushOrdinal")
+  }
 
-  def termStats: DataFrame = spark.read.parquet(s"$dir/term_stats")
+  /** term statistics are merge-invariant — resolved through the parent chain */
+  def termStats: DataFrame = parent match {
+    case Some(p) => p.termStats
+    case None => spark.read.parquet(s"$dir/term_stats")
+  }
 }
 
 object InvertedIndex {
   def open(spark: SparkSession, dir: String): InvertedIndex = {
-    val statsRow = spark.read.parquet(s"$dir/stats").collect()(0)
+    val parentPath = java.nio.file.Paths.get(s"$dir/parent")
+    val parent =
+      if (java.nio.file.Files.exists(parentPath))
+        Some(open(spark, java.nio.file.Files.readString(parentPath).trim))
+      else None
+    val statsDir = parent.map(_.dir).getOrElse(dir)
+    val statsRow = spark.read.parquet(s"$statsDir/stats").collect()(0)
     val stats = CollectionStats(statsRow.getLong(0), statsRow.getLong(1))
-    val analyzerName = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/analyzer")).trim
-    new InvertedIndex(spark, dir, Analyzers.byName(analyzerName), stats)
+    val analyzer = parent.map(_.analyzer).getOrElse(
+      Analyzers.byName(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/analyzer")).trim))
+    new InvertedIndex(spark, dir, analyzer, stats, parent)
   }
 }

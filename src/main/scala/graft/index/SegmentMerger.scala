@@ -30,17 +30,16 @@ final case class MergeMetrics(
   * `term` alone would send a head term's entire posting list — proportional to
   * corpus size, ~10^12 postings at target scale — to ONE reduce task. Instead:
   *
-  *  1. A skew pre-pass counts postings-table *rows* per term. This aggregation
-  *     is itself skew-immune: partial (map-side) aggregation means a head term
-  *     contributes one partial count per map task, never its payload.
-  *  2. Terms whose row count exceeds `targetRowsPerGroup` are the head set —
+  *  1. The skew pre-pass reads per-term df from the already-aggregated (and
+  *     Zipf-tiny relative to postings) `term_stats` table — no postings scan.
+  *  2. Terms whose df exceeds `targetPostingsPerGroup` are the head set —
   *     by Zipf's law a tiny fraction of the vocabulary — so the salt map
-  *     `term -> nBuckets` is small and broadcastable.
+  *     `term -> nBuckets = ceil(df / target)` is small and broadcastable.
   *  3. Head-term rows get `salt = hash(segmentId, blockGroup) % nBuckets`;
   *     tail terms salt 0. The shuffle key is `(term, salt)`, so every reduce
-  *     group holds at most ~`targetRowsPerGroup` rows
-  *     (≤ targetRowsPerGroup × 32 blocks × 128 docs postings) regardless of
-  *     term frequency — bounded reducer memory at any corpus size.
+  *     group holds ~`targetPostingsPerGroup` postings in expectation
+  *     regardless of term frequency — bounded reducer memory at any corpus
+  *     size.
   *  4. Each group is decoded, merge-sorted by doc id, and re-encoded into
   *     dense blocks. Different salt buckets of the same term emit rows with
   *     overlapping doc ranges; the query side never assumes cross-row doc
@@ -63,7 +62,9 @@ object SegmentMerger {
       index: InvertedIndex,
       targetDir: String,
       mergeRound: Int = 1,
-      targetRowsPerGroup: Int = 8,
+      /** max postings routed to one reduce group — the reducer-memory bound;
+        * terms with df above this are salted across ceil(df/target) buckets */
+      targetPostingsPerGroup: Int = 32768,
       /** compute driver-side row/block counts (two extra postings scans);
         * per-partition lineage in `merge_manifest` is written regardless */
       computeMetrics: Boolean = true): (InvertedIndex, MergeMetrics) = {
@@ -75,13 +76,17 @@ object SegmentMerger {
     val blocksIn =
       if (computeMetrics) postings.select(sum(size(col("blocks")))).as[Long].head() else -1L
 
-    // (1)+(2) skew pre-pass: head terms only — broadcastable by construction.
-    val headTerms: Map[String, Int] = postings
-      .groupBy("term").count()
-      .filter(col("count") > targetRowsPerGroup)
+    // (1)+(2) skew pre-pass from the (tiny, pre-aggregated) term_stats table —
+    // no postings scan. Reducer payload tracks df (postings per term), so the
+    // salt keys on df: a term above the per-group budget is head, bucket count
+    // proportional to its df. Broadcastable by Zipf: head terms are a
+    // vanishing fraction of the vocabulary.
+    val headTerms: Map[String, Int] = index.termStats
+      .filter(col("df") > targetPostingsPerGroup.toLong)
+      .select("term", "df")
       .as[(String, Long)]
       .collect()
-      .map { case (t, n) => t -> math.ceil(n.toDouble / targetRowsPerGroup).toInt }
+      .map { case (t, n) => t -> math.ceil(n.toDouble / targetPostingsPerGroup).toInt }
       .toMap
     val bc = spark.sparkContext.broadcast(headTerms)
 
@@ -143,19 +148,14 @@ object SegmentMerger {
 
     merged.toDF()
       .write.mode("overwrite").partitionBy("kind").parquet(s"$targetDir/data")
-    val srcData = spark.read.parquet(s"${index.dir}/data")
-    Seq(0, 2).foreach { k =>
-      srcData.filter(col("kind") === k).withColumn("kind", lit(k))
-        .write.mode("append").partitionBy("kind").parquet(s"$targetDir/data")
-    }
 
-    // stats are merge-invariant — copy.
-    spark.read.parquet(s"${index.dir}/term_stats")
-      .write.mode("overwrite").parquet(s"$targetDir/term_stats")
-    spark.read.parquet(s"${index.dir}/stats")
-      .write.mode("overwrite").parquet(s"$targetDir/stats")
+    // Docs, segment manifests and global stats are merge-invariant: the
+    // merged index references them through a parent link instead of
+    // rewriting them — a merge commit is "new postings + manifest swap",
+    // like the reference swapping `segments_N` without touching unchanged
+    // files (`lucene/core/src/java/org/apache/lucene/index/SegmentInfos.java:114`).
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$targetDir/analyzer"), index.analyzer.name)
+      java.nio.file.Paths.get(s"$targetDir/parent"), index.dir)
 
     val out = InvertedIndex.open(spark, targetDir)
 

@@ -29,6 +29,20 @@ object Facets {
       .groupBy(floor(col(valueCol) / lit(bucketWidth)).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Hierarchical (taxonomy) facet counts — `FastTaxonomyFacetCounts`
+    * (`lucene/facet/src/java/org/apache/lucene/facet/taxonomy/FastTaxonomyFacetCounts.java:40`):
+    * counts at every prefix level of the dimension path (here via ROLLUP over
+    * the path columns; subtotal levels carry `<ALL>` markers so results are
+    * null-free and portable). */
+  def taxonomyCounts(matched: DataFrame, corpus: DataFrame, docIdCol: String,
+                     path: Seq[String]): DataFrame = {
+    val joined = matched.select(col("docId"))
+      .join(corpus, col("docId") === corpus(docIdCol))
+    joined.rollup(path.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(path.map(d => coalesce(col(d).cast("string"), lit("<ALL>")).as(d)) :+ col("cnt"): _*)
+  }
+
   /** Distinct value count per group — `DistinctValuesCollector`. */
   def distinctCounts(matched: DataFrame, corpus: DataFrame, docIdCol: String,
                      groupDim: String, valueDim: String): DataFrame =
@@ -85,6 +99,25 @@ object Grouping {
   /** Best doc per group — `AllGroupHeadsCollector`. */
   def groupHeads(matched: DataFrame, corpus: DataFrame, docIdCol: String, groupDim: String): DataFrame =
     topKPerGroup(matched, corpus, docIdCol, groupDim, 1).drop("rank")
+
+  /** Two-pass grouped search — the reference's `GroupingSearch`
+    * (`lucene/grouping/src/java/org/apache/lucene/search/grouping/GroupingSearch.java:42`,
+    * `FirstPassGroupingCollector.java:44`, `SecondPassGroupingCollector.java:35`):
+    * pass 1 ranks groups by their best doc's score (top `nGroups`), pass 2
+    * returns the top `kPerGroup` docs within each retained group.
+    * Returns `(group, groupRank, docId, score, rank)`. */
+  def topGroups(matched: DataFrame, corpus: DataFrame, docIdCol: String,
+                groupDim: String, nGroups: Int, kPerGroup: Int): DataFrame = {
+    val perGroup = topKPerGroup(matched, corpus, docIdCol, groupDim, kPerGroup)
+    val wg = Window.orderBy(desc("headScore"), asc(groupDim))
+    val groupRanks = perGroup.filter(col("rank") === 1)
+      .select(col(groupDim), col("score").as("headScore"))
+      .withColumn("groupRank", row_number().over(wg))
+      .filter(col("groupRank") <= nGroups)
+      .select(col(groupDim), col("groupRank"))
+    perGroup.join(groupRanks, groupDim)
+      .select(col(groupDim), col("groupRank"), col("docId"), col("score"), col("rank"))
+  }
 }
 
 /** Sampled facet counting — the reference's `RandomSamplingFacetsCollector`

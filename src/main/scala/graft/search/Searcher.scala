@@ -76,6 +76,13 @@ object ScoringMode {
     * SQL-oracle-reproducible variant of [[Classic]]):
     * `idf = ln((N+1)/(df+1)) + 1`, `score = idf² · √freq / √dl`. */
   final case class PreciseClassic() extends ScoringMode
+  /** Dirichlet-smoothed query-likelihood language model
+    * (`lucene/core/src/java/org/apache/lucene/search/similarities/LMDirichletSimilarity.java:76-81`):
+    * `score = boost · (ln(1 + freq/(μ·P(t|C))) + ln(μ/(dl+μ)))` clamped at 0,
+    * with `P(t|C) = (ttf+1)/(sumTTF+1)`
+    * (`LMSimilarity.java:151` DefaultCollectionModel), `μ = 2000`.
+    * Double precision on exact doc lengths — SQL-oracle-reproducible. */
+  final case class PreciseLMDirichlet(mu: Double = 2000.0) extends ScoringMode
 }
 
 /** Distributed query execution over an [[InvertedIndex]].
@@ -130,6 +137,12 @@ final class Searcher(
       val idf = math.log((cs.docCount + 1) / (stats.docFreq + 1.0)) + 1.0
       val weight = boost * idf * idf
       (freq, dl) => weight * math.sqrt(freq.toDouble) / math.sqrt(dl.toDouble)
+    case ScoringMode.PreciseLMDirichlet(mu) =>
+      val p = (stats.totalTermFreq + 1.0) / (cs.sumTotalTermFreq + 1.0)
+      (freq, dl) => {
+        val s = boost * (math.log(1 + freq / (mu * p)) + math.log(mu / (dl + mu)))
+        if (s > 0.0) s else 0.0
+      }
   }
 
   /** Upper bound of [[termScorer]] over any posting in a block with the given
@@ -172,6 +185,9 @@ final class Searcher(
       val idfSum = stats.map(s => math.log((cs.docCount + 1) / (s.docFreq + 1.0)) + 1.0).sum
       val weight = boost * idfSum * idfSum
       (freq, dl) => weight * math.sqrt(freq.toDouble) / math.sqrt(dl.toDouble)
+    case ScoringMode.PreciseLMDirichlet(_) =>
+      throw new UnsupportedOperationException(
+        "LM-Dirichlet phrase statistics are not defined in this engine; use a term query")
   }
 
   // ------------------------------------------------------------- statistics

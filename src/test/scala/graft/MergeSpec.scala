@@ -25,14 +25,14 @@ class MergeSpec extends AnyFunSuite {
 
   lazy val mergedPair: (InvertedIndex, MergeMetrics) = {
     val dir = java.nio.file.Files.createTempDirectory("graft-merged-").toString
-    SegmentMerger.merge(fragmented, dir, mergeRound = 1, targetRowsPerGroup = 2)
+    SegmentMerger.merge(fragmented, dir, mergeRound = 1, targetPostingsPerGroup = 64)
   }
 
   test("merge compacts: fewer postings rows and blocks, head terms salted") {
     val (_, m) = mergedPair
     assert(m.rowsOut <= m.rowsIn, s"rows ${m.rowsOut} > ${m.rowsIn}")
     assert(m.blocksOut <= m.blocksIn, s"blocks ${m.blocksOut} > ${m.blocksIn}")
-    assert(m.saltedTerms > 0, "expected head terms to be salted at targetRowsPerGroup=2")
+    assert(m.saltedTerms > 0, "expected head terms to be salted at targetPostingsPerGroup=64")
   }
 
   test("merge preserves global term statistics exactly") {
