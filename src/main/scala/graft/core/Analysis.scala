@@ -11,8 +11,24 @@ package graft.core
   */
 final case class Token(term: String, position: Int)
 
+/** Zero-allocation token consumer: `src.substring(start, end)` is the term,
+  * already normalized (lowercased). Implementations must not retain `src`
+  * beyond the callback. */
+trait TokenSink {
+  def accept(src: String, start: Int, end: Int, position: Int): Unit
+}
+
 trait Analyzer extends Serializable {
   def tokenize(text: String): IndexedSeq[Token]
+
+  /** Streaming tokenization: feeds each token as a (source, start, end)
+    * slice instead of allocating a `Token` + `String` per occurrence — the
+    * allocation-discipline mirror of the reference's term-hash byte pools
+    * (`lucene/core/src/java/org/apache/lucene/index/TermsHashPerField.java`).
+    * Default delegates to [[tokenize]]; hot-path analyzers override. */
+  def tokenizeRaw(text: String, sink: TokenSink): Unit =
+    tokenize(text).foreach(t => sink.accept(t.term, 0, t.term.length, t.position))
+
   /** name used to select the analyzer when reopening an index */
   def name: String
 }
@@ -33,6 +49,11 @@ object SimpleAnalyzer extends Analyzer {
   override val name = "simple"
   override def tokenize(text: String): IndexedSeq[Token] = {
     val out = Vector.newBuilder[Token]
+    tokenizeRaw(text, (src, s, e, pos) => out += Token(src.substring(s, e), pos))
+    out.result()
+  }
+
+  override def tokenizeRaw(text: String, sink: TokenSink): Unit = {
     val lower = text.toLowerCase
     val n = lower.length
     var i = 0
@@ -42,11 +63,10 @@ object SimpleAnalyzer extends Analyzer {
       if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
         val start = i
         while (i < n && { val d = lower.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9') }) i += 1
-        out += Token(lower.substring(start, i), pos)
+        sink.accept(lower, start, i, pos)
         pos += 1
       } else i += 1
     }
-    out.result()
   }
 }
 

@@ -70,7 +70,7 @@ final case class IndexConfig(
     analyzer: Analyzer = SimpleAnalyzer,
     withPositions: Boolean = true,
     flushDocBudget: Int = 1 << 18,
-    flushTokenBudget: Long = 1L << 19)
+    flushTokenBudget: Long = 1L << 21)
 
 /** Distributed inverted-index build: the reference's
   * IndexWriter/DocumentsWriterPerThread dataflow
@@ -120,6 +120,10 @@ object IndexBuilder {
     staged.write
       .mode(if (resume) "append" else "overwrite")
       .partitionBy("kind")
+      // 32 MB row groups: with one open parquet file per write task, this
+      // caps per-task writer buffering so executor-thread count × (flush
+      // buffer + writer buffer) stays well inside a modest heap
+      .option("parquet.block.size", 32 * 1024 * 1024)
       .parquet(s"$dir/data")
 
     refreshStats(spark, dir)
@@ -142,7 +146,9 @@ object IndexBuilder {
     val bc = spark.sparkContext.broadcast(config)
     batch.mapPartitions { docs =>
       new SegmentFlusher(bc.value, segNamespace, TaskContext.getPartitionId(), docs)
-    }.write.mode("append").partitionBy("kind").parquet(s"$dir/data")
+    }.write.mode("append").partitionBy("kind")
+      .option("parquet.block.size", 32 * 1024 * 1024)
+      .parquet(s"$dir/data")
   }
 
   /** Recompute global term/collection statistics from the committed segment
@@ -171,30 +177,126 @@ object IndexBuilder {
     private var flushOrdinal = 0
     private val pending = mutable.Queue.empty[StageRow]
 
+    /** Per-term accumulation in primitive buffers ([[graft.core.LongBuf]] /
+      * [[graft.core.IntBuf]]) — the ByteSlicePool-spirit allocation
+      * discipline (`lucene/core/src/java/org/apache/lucene/index/ByteSlicePool.java`):
+      * ~15 bytes/token live instead of ~120 with boxed collections, which is
+      * what keeps 32 concurrent flushers CPU-bound rather than GC-bound.
+      * `positions` is the flat concatenation of each doc's positions; per-doc
+      * boundaries are recovered from `freqs` prefix sums at flush time. */
     private final class PostingsBuf {
-      val docIds = new mutable.ArrayBuffer[Long]
-      val freqs = new mutable.ArrayBuffer[Int]
-      val doclens = new mutable.ArrayBuffer[Int]
-      val positions = new mutable.ArrayBuffer[Array[Int]]
+      val docIds = new graft.core.LongBuf
+      val freqs = new graft.core.IntBuf
+      val doclens = new graft.core.IntBuf
+      val positions = new graft.core.IntBuf
       var ttf = 0L
     }
 
-    private var terms = mutable.HashMap.empty[String, PostingsBuf]
+    /** Slice-keyed term hash: open addressing over (hash, char-slice
+      * equality), so a term occurrence costs integer ops and a String is
+      * allocated only on the FIRST occurrence of a term per segment — the
+      * TermsHashPerField analog
+      * (`lucene/core/src/java/org/apache/lucene/index/TermsHashPerField.java`).
+      * At ~80 occurrences per distinct term this removes ~99% of tokenizer
+      * String allocations from the build hot path, which is what keeps the
+      * flush stage memory-bandwidth-light enough to scale with executor
+      * threads. Dense slot ids stay stable across rehashes. */
+    private final class TermTable {
+      private var cap = 1 << 14
+      private var table = new Array[Int](cap) // 0 = empty, else denseId + 1
+      var keys = new Array[String](1 << 12)
+      var bufs = new Array[PostingsBuf](1 << 12)
+      var size = 0
+
+      private def hashSlice(src: String, start: Int, end: Int): Int = {
+        var h = 0
+        var i = start
+        while (i < end) { h = h * 31 + src.charAt(i); i += 1 }
+        h
+      }
+
+      def lookup(src: String, start: Int, end: Int): Int = {
+        val len = end - start
+        val h = hashSlice(src, start, end)
+        var idx = h & (cap - 1)
+        while (true) {
+          val v = table(idx)
+          if (v == 0) {
+            // new term: allocate its one String + buf
+            if (size == keys.length) {
+              keys = java.util.Arrays.copyOf(keys, size << 1)
+              bufs = java.util.Arrays.copyOf(bufs, size << 1)
+            }
+            keys(size) = src.substring(start, end)
+            bufs(size) = new PostingsBuf
+            table(idx) = size + 1
+            size += 1
+            if (size * 2 > cap) rehash()
+            return size - 1
+          } else {
+            val id = v - 1
+            val k = keys(id)
+            if (k.length == len && src.regionMatches(start, k, 0, len)) return id
+          }
+          idx = (idx + 1) & (cap - 1)
+        }
+        -1
+      }
+
+      private def rehash(): Unit = {
+        cap <<= 1
+        table = new Array[Int](cap)
+        var id = 0
+        while (id < size) {
+          val k = keys(id)
+          var idx = hashSlice(k, 0, k.length) & (cap - 1)
+          while (table(idx) != 0) idx = (idx + 1) & (cap - 1)
+          table(idx) = id + 1
+          id += 1
+        }
+      }
+
+      def clear(): Unit = {
+        java.util.Arrays.fill(table, 0)
+        java.util.Arrays.fill(keys.asInstanceOf[Array[AnyRef]], null)
+        java.util.Arrays.fill(bufs.asInstanceOf[Array[AnyRef]], null)
+        size = 0
+      }
+    }
+
+    private val terms = new TermTable
     private var segDocs = new mutable.ArrayBuffer[(Long, Int)] // (docId, doclen)
     private var segSumDoclen = 0L
 
+    // per-doc scratch (reused): term slot + position per occurrence
+    private val scratchSlots = new graft.core.IntBuf(256)
+    private val scratchPos = new graft.core.IntBuf(256)
+
+    private val sink = new graft.core.TokenSink {
+      override def accept(src: String, start: Int, end: Int, position: Int): Unit = {
+        scratchSlots.add(terms.lookup(src, start, end))
+        scratchPos.add(position)
+      }
+    }
+
     private def addDoc(d: InputDoc): Unit = {
-      val toks = cfg.analyzer.tokenize(d.text)
-      val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]
-      toks.foreach(t => byTerm.getOrElseUpdate(t.term, new mutable.ArrayBuffer[Int]) += t.position)
-      val doclen = toks.length
-      byTerm.foreach { case (term, poss) =>
-        val buf = terms.getOrElseUpdate(term, new PostingsBuf)
-        buf.docIds += d.docId
-        buf.freqs += poss.length
-        buf.doclens += doclen
-        buf.ttf += poss.length
-        if (cfg.withPositions) buf.positions += poss.toArray
+      scratchSlots.reset(); scratchPos.reset()
+      cfg.analyzer.tokenizeRaw(d.text, sink)
+      val doclen = scratchSlots.length
+      var i = 0
+      while (i < doclen) {
+        val buf = terms.bufs(scratchSlots(i))
+        val n = buf.docIds.length
+        if (n > 0 && buf.docIds(n - 1) == d.docId) {
+          buf.freqs.bump(n - 1) // same doc: increment freq in place
+        } else {
+          buf.docIds.add(d.docId)
+          buf.freqs.add(1)
+          buf.doclens.add(doclen)
+        }
+        if (cfg.withPositions) buf.positions.add(scratchPos(i))
+        buf.ttf += 1
+        i += 1
       }
       segDocs += ((d.docId, doclen))
       segSumDoclen += doclen
@@ -211,15 +313,24 @@ object IndexBuilder {
       // (`lucene/core/src/java/org/apache/lucene/index/FreqProxTermsWriter.java:43`)
       // — and, relationally, so parquet row-group min/max stats on `term`
       // prune term-lookup scans (the block-tree term dictionary analog).
-      terms.toSeq.sortBy(_._1).foreach { case (term, buf) =>
+      val entries = Array.tabulate(terms.size)(id => (terms.keys(id), terms.bufs(id)))
+      scala.util.Sorting.stableSort(entries, (a: (String, PostingsBuf), b: (String, PostingsBuf)) => a._1 < b._1)
+      entries.foreach { case (term, buf) =>
         // sort this term's postings by doc id (input order within a partition
         // is not guaranteed)
         val n = buf.docIds.length
         val order = Array.tabulate(n)(identity).sortBy(buf.docIds(_))
-        val ids = order.map(buf.docIds)
-        val fr = order.map(buf.freqs)
-        val dl = order.map(buf.doclens)
-        val pos = if (cfg.withPositions) order.map(buf.positions) else null
+        val ids = order.map(buf.docIds(_))
+        val fr = order.map(buf.freqs(_))
+        val dl = order.map(buf.doclens(_))
+        val pos: Array[Array[Int]] = if (cfg.withPositions) {
+          // per-doc position slices from the flat buffer via freq prefix sums
+          val offsets = new Array[Int](n)
+          var acc = 0
+          var j = 0
+          while (j < n) { offsets(j) = acc; acc += buf.freqs(j); j += 1 }
+          order.map(k => buf.positions.slice(offsets(k), buf.freqs(k)))
+        } else null
         val blocks = PostingsCodec.encodeBlocks(ids, fr, dl, pos)
         blocks.grouped(PostingsCodec.BlocksPerRow).zipWithIndex.foreach {
           case (grp, gi) =>
@@ -235,7 +346,7 @@ object IndexBuilder {
       pending += StageRow.segment(segmentId, pid, segDocs.length.toLong, segSumDoclen,
         terms.size.toLong, postingsFlushed, flushOrdinal)
       flushOrdinal += 1
-      terms = mutable.HashMap.empty
+      terms.clear()
       segDocs = new mutable.ArrayBuffer[(Long, Int)]
       segSumDoclen = 0L
     }

@@ -147,7 +147,9 @@ object SegmentMerger {
       }
 
     merged.toDF()
-      .write.mode("overwrite").partitionBy("kind").parquet(s"$targetDir/data")
+      .write.mode("overwrite").partitionBy("kind")
+      .option("parquet.block.size", 32 * 1024 * 1024)
+      .parquet(s"$targetDir/data")
 
     // Docs, segment manifests and global stats are merge-invariant: the
     // merged index references them through a parent link instead of

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import graft.core.{Analyzer, Token}
+import graft.search._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Percolator — the reference's `monitor` module
+  * (`lucene/monitor/src/java/org/apache/lucene/monitor/Monitor.java:42`):
+  * the flow is inverted — queries are registered up front, documents stream
+  * through, and each document reports which queries match it. The per-document
+  * evaluation over an analyzed token multiset is the `MemoryIndex` analog
+  * (`lucene/memory/src/java/org/apache/lucene/index/memory/MemoryIndex.java:198`).
+  *
+  * Spark-first shape: the registered queries are a broadcast-sized set (they
+  * are human-authored rules); matching is a pure per-row flatMap — no shuffle,
+  * no state, embarrassingly parallel, so it rides inside any streaming or
+  * batch transform at full input bandwidth. Lucene's presearcher (indexing the
+  * queries to prune candidates) is an optimization of the same contract; with
+  * a broadcast rule set the brute per-doc loop is the honest baseline and is
+  * CPU-bound on the analyzer, not on rule count, until rules reach ~10^4.
+  */
+object Monitor {
+
+  /** Match-time view of one doc: term -> positions. */
+  final class DocView(toks: IndexedSeq[Token]) {
+    val positions: Map[String, Array[Int]] =
+      toks.groupBy(_.term).map { case (t, g) => t -> g.map(_.position).toArray }
+    def has(t: String): Boolean = positions.contains(t)
+    def freq(t: String): Int = positions.get(t).map(_.length).getOrElse(0)
+    val terms: Set[String] = positions.keySet
+  }
+
+  /** Pure per-doc query evaluation (match/no-match; no scoring — the
+    * monitor's contract is which queries matched). Supports the full AST
+    * except operators needing global statistics (none of the boolean,
+    * positional, or term-expansion predicates do). */
+  def matches(q: Query, doc: DocView): Boolean = q match {
+    case MatchAllDocsQuery => true
+    case MatchNoDocsQuery => false
+    case TermQuery(t) => doc.has(t)
+    case SynonymQuery(ts) => ts.exists(doc.has)
+    case TermInSetQuery(ts) => ts.exists(doc.has)
+    case PrefixQuery(p) => doc.terms.exists(_.startsWith(p))
+    case _: WildcardQuery => matches(QueryRewriter.rewrite(q), doc) // lowers to prefix/regexp
+    case RegexpQuery(pat) =>
+      val re = java.util.regex.Pattern.compile("^(?:" + pat + ")$")
+      doc.terms.exists(t => re.matcher(t).find())
+    case FuzzyQuery(t, maxE) =>
+      doc.terms.exists(c => levenshtein(c, t) <= maxE)
+    case TermRangeQuery(lo, hi, il, ih) =>
+      doc.terms.exists { t =>
+        lo.forall(l => if (il) t >= l else t > l) && hi.forall(h => if (ih) t <= h else t < h)
+      }
+    case PhraseQuery(ts, slop) =>
+      require(slop == 0, "monitor phrase matching is exact (slop=0)")
+      ts.forall(doc.has) && {
+        val arrays = ts.map(doc.positions).toArray
+        arrays(0).exists(p0 => arrays.indices.tail.forall(i =>
+          java.util.Arrays.binarySearch(arrays(i), p0 + i) >= 0))
+      }
+    case MultiPhraseQuery(ps) =>
+      ps.forall(_.exists(doc.has)) && {
+        val byIdx = ps.map(alts =>
+          alts.filter(doc.has).flatMap(t => doc.positions(t).toSeq).distinct.sorted.toArray)
+        byIdx(0).exists(p0 => byIdx.indices.tail.forall(i =>
+          java.util.Arrays.binarySearch(byIdx(i), p0 + i) >= 0))
+      }
+    case SpanNearQuery(ts, slop, inOrder) =>
+      ts.forall(doc.has) &&
+        SpanMatcher.matches(ts.map(doc.positions).toArray, ts.size + slop, inOrder)
+    case BoostQuery(inner, _) => matches(inner, doc)
+    case ConstantScoreQuery(inner) => matches(inner, doc)
+    case DisjunctionMaxQuery(ds, _) => ds.exists(matches(_, doc))
+    case BooleanQuery(clauses, msm) =>
+      val must = clauses.collect { case (Occur.MUST, c) => c }
+      val filter = clauses.collect { case (Occur.FILTER, c) => c }
+      val should = clauses.collect { case (Occur.SHOULD, c) => c }
+      val nots = clauses.collect { case (Occur.MUST_NOT, c) => c }
+      // SHOULD clauses: at least one required when they are the only
+      // positive clauses, else at least minimumShouldMatch
+      val neededShould =
+        if (should.isEmpty) 0
+        else if (must.isEmpty && filter.isEmpty) math.max(msm, 1)
+        else msm
+      must.forall(matches(_, doc)) &&
+        filter.forall(matches(_, doc)) &&
+        !nots.exists(matches(_, doc)) &&
+        should.count(matches(_, doc)) >= neededShould &&
+        (must.nonEmpty || filter.nonEmpty || should.nonEmpty)
+  }
+
+  private def levenshtein(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  /** Batch percolation: each `(docId, text)` row → one row per matching
+    * registered query: `(docId, queryId)`. */
+  def percolate(docs: Dataset[(Long, String)], queries: Seq[(String, Query)],
+                analyzer: Analyzer): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((queries, analyzer))
+    docs.flatMap { case (id, text) =>
+      val (qs, an) = bc.value
+      val view = new DocView(an.tokenize(text))
+      qs.collect { case (qid, q) if matches(q, view) => (id, qid) }
+    }.toDF("docId", "queryId")
+  }
+
+  /** Streaming percolation: emits `(docId, queryId)` matches per micro-batch
+    * through `sink` (the `Monitor.match(Document...)` continuous flow). */
+  def start(docs: Dataset[(Long, String)], queries: Seq[(String, Query)],
+            analyzer: Analyzer)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[(Long, String)], batchId: Long) =>
+        sink(percolate(batch, queries, analyzer), batchId)
+      }
+      .start()
+}

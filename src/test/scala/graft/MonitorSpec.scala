@@ -1,0 +1,68 @@
+package graft
+
+import graft.core.SimpleAnalyzer
+import graft.search._
+import graft.streaming.Monitor
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Percolator tests: per-doc query evaluation must agree exactly with the
+  * index-based searcher's matched doc sets (metamorphic oracle — two
+  * execution paths, one semantics; the pattern of the reference's
+  * `TestMonitor` + `CheckHits`). */
+class MonitorSpec extends AnyFunSuite {
+  import SparkTestEnv._
+
+  private val registered: Seq[(String, Query)] = Seq(
+    "term" -> TermQuery("spark"),
+    "bool_and" -> BooleanQuery.must(TermQuery("data"), TermQuery("filter")),
+    "bool_or_msm" -> BooleanQuery(Seq(
+      Occur.SHOULD -> TermQuery("vector"), Occur.SHOULD -> TermQuery("stream"),
+      Occur.SHOULD -> TermQuery("dup")), minimumShouldMatch = 2),
+    "bool_not" -> BooleanQuery(Seq(
+      Occur.MUST -> TermQuery("dup"), Occur.MUST_NOT -> TermQuery("spark"))),
+    "phrase" -> PhraseQuery(Seq("batch", "batch")),
+    "prefix" -> PrefixQuery("st"),
+    "wildcard" -> WildcardQuery("qu?ry"),
+    "fuzzy" -> FuzzyQuery("spark", 2),
+    "range" -> TermRangeQuery(Some("agg"), Some("batch"), true, true),
+    "in_set" -> TermInSetQuery(Set("spark", "vector", "stream")),
+    "span" -> SpanNearQuery(Seq("data", "filter"), slop = 3, inOrder = true),
+    "synonym" -> SynonymQuery(Seq("fast", "slow")),
+    "dismax" -> DisjunctionMaxQuery(Seq(TermQuery("dup"), TermQuery("line"))),
+    "multiphrase" -> MultiPhraseQuery(Seq(Seq("fast", "slow"), Seq("join", "scan"))))
+
+  test("percolation agrees with the index-based searcher on every registered query") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+    val got: Map[String, Set[Long]] = Monitor.percolate(docs, registered, SimpleAnalyzer)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val searcher = new Searcher(index, ScoringMode.PreciseBM25())
+    registered.foreach { case (name, q) =>
+      val want = searcher.scored(q).select("docId").collect().map(_.getLong(0)).toSet
+      assert(got.getOrElse(name, Set.empty) == want,
+        s"query '$name': percolate=${got.getOrElse(name, Set.empty).size} index=${want.size}")
+    }
+  }
+
+  test("streaming percolation emits the same matches per micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = Monitor.start(source.toDS(), registered, SimpleAnalyzer) { (batch, _) =>
+      collected ++= batch.collect().map(r => (r.getLong(0), r.getString(1)))
+    }
+    source.addData((900L, "spark streams data with a filter"), (901L, "nothing relevant"))
+    q.processAllAvailable()
+    q.stop()
+    val byDoc = collected.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    assert(byDoc(900L).contains("term"))
+    assert(byDoc(900L).contains("bool_and"))
+    assert(byDoc(900L).contains("span"))
+    assert(!byDoc.contains(901L))
+  }
+}
