@@ -43,7 +43,7 @@ object Bench {
     * shuffle partitions, same deterministic corpus bytes — only the number of
     * executor threads varies, which is the sandbox stand-in for an N- vs
     * 4N-executor cluster running the same partitioned job. */
-  private def timedBuild(cores: Int, nDocs: Long, p: PageGen.Params): Double = {
+  private def timedBuild(cores: Int, nDocs: Long, p: PageGen.Params): (Double, String) = {
     val spark = session(cores, shufflePartitions = 64)
     val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-n$cores-").toString
     val t0 = System.nanoTime()
@@ -55,7 +55,7 @@ object Bench {
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    sec
+    (sec, s"$dir-merged")
   }
 
   def main(args: Array[String]): Unit = {
@@ -93,21 +93,19 @@ object Bench {
       // hardware-ceiling-bound on shared silicon (per-core CPU throughput
       // halves at 32 threads; see BASELINE.md §3 analysis).
       timedBuild(8, 2000, p) // JVM warmup: classloading + codegen, untimed
-      val sec2 = timedBuild(2, benchDocs, p)
-      val secN = timedBuild(8, benchDocs, p)
-      val sec4N = timedBuild(32, benchDocs, p)
+      val (sec2, _) = timedBuild(2, benchDocs, p)
+      val (secN, _) = timedBuild(8, benchDocs, p)
+      val (sec4N, mergedDir) = timedBuild(32, benchDocs, p)
       val dps2 = benchDocs / sec2
       val dpsN = benchDocs / secN
       val dps4N = benchDocs / sec4N
       val eff = dpsN / (4.0 * dps2)
       val effHw = dps4N / (4.0 * dpsN)
 
-      // ---- phase 3: BM25 top-k p95 latency on the 4N-built merged index
+      // ---- phase 3: BM25 top-k p95 latency on the merged index built by
+      // the 32-core phase-2 run (same corpus — no redundant rebuild)
       val spark3 = session(32, 32)
-      val dir = java.nio.file.Files.createTempDirectory("graft-bench-q-").toString
-      val idx = WebIndex.build(PageGen.synthesize(spark3, benchDocs, 32, p), dir,
-        IndexConfig(SimpleAnalyzer, withPositions = true), numPartitions = 32)
-      val (midx, _) = SegmentMerger.merge(idx, s"$dir-merged")
+      val midx = graft.index.InvertedIndex.open(spark3, mergedDir)
       val searcher = new Searcher(midx, ScoringMode.PreciseBM25())
       val queries = PageGen.querySet(p)
       val lat = queries.map { q =>

@@ -101,6 +101,7 @@ object IndexBuilder {
             resume: Boolean = false): InvertedIndex = {
     val spark = input.sparkSession
     import spark.implicits._
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", 256) // see InvertedIndex.open
 
     val completedPartitions: Set[Int] =
       if (resume && new java.io.File(s"$dir/data").exists()) {
@@ -413,6 +414,12 @@ final class InvertedIndex private (
 
 object InvertedIndex {
   def open(spark: SparkSession, dir: String): InvertedIndex = {
+    // Postings rows carry multi-KB nested binary payloads; the default
+    // 4096-row vectorized-reader batch then buffers hundreds of MB per scan
+    // task (OnHeapColumnVector.appendBytes OOM at high thread counts).
+    // 256 rows × ~50 KB ≈ 12 MB per task keeps N concurrent scan tasks
+    // bounded while staying vectorized.
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", 256)
     val parentPath = java.nio.file.Paths.get(s"$dir/parent")
     val parent =
       if (java.nio.file.Files.exists(parentPath))

@@ -5,6 +5,23 @@ import org.apache.spark.TaskContext
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
+/** Streams consecutive equal-key runs of a (key-sorted) row iterator as
+  * (key, rows-of-run) — the bounded-memory reduce-group iterator. */
+private final class GroupedIterator(
+    rows: Iterator[(String, Int, Seq[PostingBlock])])
+    extends Iterator[((String, Int), Vector[Seq[PostingBlock]])] {
+  private val it = rows.buffered
+  override def hasNext: Boolean = it.hasNext
+  override def next(): ((String, Int), Vector[Seq[PostingBlock]]) = {
+    val (term, salt, first) = it.head
+    val buf = Vector.newBuilder[Seq[PostingBlock]]
+    while (it.hasNext && it.head._1 == term && it.head._2 == salt) {
+      buf += it.next()._3
+    }
+    ((term, salt), buf.result())
+  }
+}
+
 /** Driver-side summary of one merge round. */
 final case class MergeMetrics(
     mergeRound: Int,
@@ -70,6 +87,7 @@ object SegmentMerger {
       computeMetrics: Boolean = true): (InvertedIndex, MergeMetrics) = {
     val spark = index.spark
     import spark.implicits._
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", 256) // see InvertedIndex.open
 
     val postings = index.postings
     val rowsIn = if (computeMetrics) postings.count() else -1L
@@ -102,20 +120,24 @@ object SegmentMerger {
     val mergedSegBase = 1000000000L * mergeRound
 
     // (4) per-group decode → merge-sort by doc → re-encode dense blocks.
+    //
+    // The reduce side STREAMS one (term, salt) group at a time: rows are
+    // sort-ordered within each shuffle partition (a spillable sort, never an
+    // in-memory map of the whole partition), so reducer live memory is one
+    // group (~targetPostingsPerGroup postings), not one partition — the
+    // memory bound that makes the merge safe at any corpus size and any
+    // executor-thread count. Sorted order also means merged terms land in
+    // parquet in term order → row-group min/max stats prune term lookups.
     val merged = postings
       .withColumn("salt", saltUdf(col("term"), col("segmentId"), col("blockGroup")))
       .repartition(col("term"), col("salt"))
+      .sortWithinPartitions("term", "salt")
       .select("term", "salt", "blocks")
       .as[(String, Int, Seq[PostingBlock])]
       .mapPartitions { rows =>
         val pid = TaskContext.getPartitionId()
-        val groups = mutable.LinkedHashMap.empty[(String, Int), mutable.ArrayBuffer[Seq[PostingBlock]]]
-        rows.foreach { case (t, s, bs) =>
-          groups.getOrElseUpdate((t, s), new mutable.ArrayBuffer) += bs
-        }
-        // emit merged terms in sorted order so parquet min/max stats on `term`
-        // prune lookups over the merged segments too
-        groups.toSeq.sortBy(_._1).iterator.flatMap { case ((term, salt), rowBlocks) =>
+        val grouped = new GroupedIterator(rows)
+        grouped.flatMap { case ((term, salt), rowBlocks) =>
           val decoded = rowBlocks.iterator.flatten.map { b =>
             PostingsCodec.decodeBlock(b, withPositions = b.positions.nonEmpty)
           }.toVector
