@@ -64,7 +64,7 @@ object Bench {
     // sized so parallel work amortizes the ~10 s of per-build serial overhead
     // (driver actions, job scheduling, parquet commits) — Amdahl demands
     // ~1000 s of single-core-equivalent work for eff >= 0.8 at 4x cores
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1500000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
     val p = PageGen.Params()
 
