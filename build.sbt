@@ -26,8 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 8g measured optimal: a 32g heap makes 32-thread runs ~7x slower (G1
+  // 12g measured: headroom for 32 flush buffers + Tungsten write-sort; a 32g heap makes 32-thread runs ~7x slower (G1
   // young-gen pathology at large heaps on this kernel); see BASELINE.md §3
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 ) ++ sys.env.get("SPARK_EXTRA_JVM_FLAGS").toSeq.flatMap(_.split("\\s+").toSeq
 )

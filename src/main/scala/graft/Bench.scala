@@ -37,13 +37,26 @@ object Bench {
     s
   }
 
+  private def rmTree(path: String): Unit = {
+    import java.nio.file._
+    val root = Paths.get(path)
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   /** Full build incl. merge at `cores`; returns wall seconds.
     *
     * The JOB is identical across core counts — 64 input partitions, 64
     * shuffle partitions, same deterministic corpus bytes — only the number of
     * executor threads varies, which is the sandbox stand-in for an N- vs
-    * 4N-executor cluster running the same partitioned job. */
-  private def timedBuild(cores: Int, nDocs: Long, p: PageGen.Params): (Double, String) = {
+    * 4N-executor cluster running the same partitioned job.
+    *
+    * Deletes its work dirs unless `keep` (a full run writes several GB; the
+    * per-round driver disk is finite). */
+  private def timedBuild(cores: Int, nDocs: Long, p: PageGen.Params,
+                         keep: Boolean = false): (Double, String) = {
     val spark = session(cores, shufflePartitions = 64)
     val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-n$cores-").toString
     val t0 = System.nanoTime()
@@ -55,6 +68,7 @@ object Bench {
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    if (!keep) { rmTree(s"$dir-merged"); rmTree(dir) }
     (sec, s"$dir-merged")
   }
 
@@ -95,7 +109,7 @@ object Bench {
       timedBuild(8, 2000, p) // JVM warmup: classloading + codegen, untimed
       val (sec2, _) = timedBuild(2, benchDocs, p)
       val (secN, _) = timedBuild(8, benchDocs, p)
-      val (sec4N, mergedDir) = timedBuild(32, benchDocs, p)
+      val (sec4N, mergedDir) = timedBuild(32, benchDocs, p, keep = true)
       val dps2 = benchDocs / sec2
       val dpsN = benchDocs / secN
       val dps4N = benchDocs / sec4N
@@ -116,6 +130,8 @@ object Bench {
       val p50 = lat(lat.size / 2)
       val p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
       spark3.stop()
+      rmTree(mergedDir)
+      rmTree(mergedDir.stripSuffix("-merged"))
 
       scalingJson =
         f""","index_build":{"docs":$benchDocs,"sec_n2":$sec2%.1f,"sec_n8":$secN%.1f,"sec_n32":$sec4N%.1f,""" +

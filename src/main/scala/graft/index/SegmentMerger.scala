@@ -13,7 +13,7 @@ private final class GroupedIterator(
   private val it = rows.buffered
   override def hasNext: Boolean = it.hasNext
   override def next(): ((String, Int), Vector[Seq[PostingBlock]]) = {
-    val (term, salt, first) = it.head
+    val (term, salt, _) = it.head
     val buf = Vector.newBuilder[Seq[PostingBlock]]
     while (it.hasNext && it.head._1 == term && it.head._2 == salt) {
       buf += it.next()._3
