@@ -386,18 +386,21 @@ final class InvertedIndex private (
       * model; no bulk copying of unchanged sections) */
     val parent: Option[InvertedIndex]) extends Serializable {
 
-  private def data: DataFrame = spark.read.parquet(s"$dir/data")
+  // Shared plan instances (@transient: an InvertedIndex travels into task
+  // closures; DataFrames must not) — one instance per view means a caller's
+  // `.cache()` (see [[warm]]) applies to every subsequent query.
+  @transient private lazy val data: DataFrame = spark.read.parquet(s"$dir/data")
 
-  def postings: DataFrame =
+  @transient lazy val postings: DataFrame =
     data.filter(col("kind") === 1)
       .select("term", "segmentId", "blockGroup", "df", "ttf", "blocks")
 
-  def docs: DataFrame = parent match {
+  @transient lazy val docs: DataFrame = parent match {
     case Some(p) => p.docs
     case None => data.filter(col("kind") === 0).select("docId", "segmentId", "doclen", "dlb")
   }
 
-  def segments: DataFrame = parent match {
+  @transient lazy val segments: DataFrame = parent match {
     case Some(p) => p.segments
     case None =>
       data.filter(col("kind") === 2)
@@ -406,9 +409,19 @@ final class InvertedIndex private (
   }
 
   /** term statistics are merge-invariant — resolved through the parent chain */
-  def termStats: DataFrame = parent match {
+  @transient lazy val termStats: DataFrame = parent match {
     case Some(p) => p.termStats
     case None => spark.read.parquet(s"$dir/term_stats")
+  }
+
+  /** Serving mode: pin the postings and statistics views in cluster cache
+    * (compressed columnar) and materialize them — the analog of a
+    * page-cache-resident Lucene index behind a `SearcherManager`. Repeated
+    * queries then scan memory, not parquet. */
+  def warm(): this.type = {
+    postings.cache(); termStats.cache(); docs.cache()
+    postings.count(); termStats.count(); docs.count()
+    this
   }
 }
 

@@ -360,8 +360,14 @@ final class Searcher(
     val candidates = (if (requireAll) agg.filter(col("cnt") === present.size) else agg)
       .filter(col("score") >= lit(threshold))
       .select("docId", "score")
-    val result = candidates.orderBy(desc("score"), asc("docId")).limit(k)
-    if (result.count() < k) exhaustive() else result
+    // materialize the top-k once (driver-side rows) — the completeness check
+    // and the result share one execution instead of recomputing the plan
+    val top = candidates.orderBy(desc("score"), asc("docId")).limit(k).collect()
+    if (top.length < k) exhaustive()
+    else spark.createDataFrame(spark.sparkContext.parallelize(top.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
   }
 
   /** Synonym: union postings, sum freqs per doc, score as one pseudo-term with
