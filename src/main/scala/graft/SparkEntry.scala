@@ -269,6 +269,11 @@ object SparkEntry {
     "q52_lucene_bm25" -> ((s, dir) => {
       topk(new Searcher(Indexes.documentsIndex(s, dir), ScoringMode.LuceneBM25())
         .scored(TermQuery("spark")), 10)
+    }),
+    "q53_docid_range" -> ((s, dir) => {
+      // sorted-index range query: posting blocks skipped on doc-id metadata
+      topk(Indexes.searcher(s, dir).scored(
+        DocIdRangeQuery(TermQuery("dup"), 100L, 300L)), 10)
     })
   ) ++ graft.pipeline.PipelineQueries.queries
 
@@ -655,6 +660,10 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup') m
          |JOIN documents d ON m.doc_id = d.doc_id
          |GROUP BY ROLLUP (d.lang, d.source)
-         |ORDER BY lang, source""".stripMargin
+         |ORDER BY lang, source""".stripMargin,
+
+    "q53_docid_range" -> topkSql(
+      s"""SELECT doc_id, score FROM (${termScoreSql("dup")}) s
+         |WHERE doc_id BETWEEN 100 AND 300""".stripMargin, 10)
   ) ++ graft.pipeline.PipelineQueries.oracleSql
 }

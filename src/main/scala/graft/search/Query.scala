@@ -81,6 +81,13 @@ final case class DisjunctionMaxQuery(disjuncts: Seq[Query], tieBreaker: Float = 
   * `lucene/core/src/java/org/apache/lucene/search/SloppyPhraseMatcher.java:54`. */
 final case class SpanNearQuery(terms: Seq[String], slop: Int, inOrder: Boolean) extends Query
 
+/** Restrict `inner`'s matches to a doc-id range (inclusive). Because doc ids
+  * are assigned in global url order, this is the sorted-index range query:
+  * posting blocks are skipped on their (firstDoc, lastDoc) metadata before
+  * decode — the analog of binary-searching a sort-ordered index. Reference:
+  * `lucene/core/src/java/org/apache/lucene/search/IndexSortSortedNumericDocValuesRangeQuery.java:69`. */
+final case class DocIdRangeQuery(inner: Query, lo: Long, hi: Long) extends Query
+
 /** All docs, score 1. Reference: `search/MatchAllDocsQuery.java:23`. */
 case object MatchAllDocsQuery extends Query
 

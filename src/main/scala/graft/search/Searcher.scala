@@ -201,6 +201,7 @@ final class Searcher(
     case PhraseQuery(ts, _) => ts.toSet
     case MultiPhraseQuery(ps) => ps.flatten.toSet
     case SpanNearQuery(ts, _, _) => ts.toSet
+    case DocIdRangeQuery(inner, _, _) => exactTerms(inner)
     case BooleanQuery(cs, _) => cs.flatMap(c => exactTerms(c._2)).toSet
     case BoostQuery(inner, _) => exactTerms(inner)
     case ConstantScoreQuery(inner) => exactTerms(inner)
@@ -591,6 +592,19 @@ final class Searcher(
       phraseFrame(ts, stats, boost)
     case MultiPhraseQuery(ps) => multiPhraseFrame(ps, stats, boost)
     case SpanNearQuery(ts, slop, inOrder) => spanNearFrame(ts, slop, inOrder, stats, boost)
+    case DocIdRangeQuery(TermQuery(t), lo, hi) =>
+      // sorted-index range: block-level skip on (firstDoc, lastDoc) metadata
+      // before any decode — only boundary blocks need the per-doc filter
+      stats.get(t) match {
+        case None => emptyFrame
+        case Some(ts) =>
+          val blocks = blocksOf(t)
+            .filter(col("lastDoc") >= lit(lo) && col("firstDoc") <= lit(hi))
+          decodeScored(blocks, termScorer(ts, boost))
+            .filter(col("docId").between(lo, hi))
+      }
+    case DocIdRangeQuery(inner, lo, hi) =>
+      compile(inner, stats, boost).filter(col("docId").between(lo, hi))
     case PrefixQuery(p) => expansionFrame(col("term").startsWith(p), boost)
     case TermRangeQuery(lo, hi, il, ih) =>
       val lower = lo.map(v => if (il) col("term") >= v else col("term") > v)
