@@ -210,6 +210,18 @@ object PostingsCodec {
     out.result()
   }
 
+  /** Doc-ids-only decode (delta chain; freqs/doclens/positions untouched) —
+    * for constant-score doc-set paths (term expansion, field-exists) where
+    * decoding the full block would triple the work. */
+  def decodeDocIds(b: PostingBlock): Array[Long] = {
+    val deltas = VByte.decodeLongs(b.docDeltas, b.count)
+    val docs = new Array[Long](b.count)
+    var acc = b.firstDoc
+    var i = 0
+    while (i < b.count) { acc += deltas(i); docs(i) = acc; i += 1 }
+    docs
+  }
+
   def decodeBlock(b: PostingBlock, withPositions: Boolean = false): DecodedBlock = {
     val deltas = VByte.decodeLongs(b.docDeltas, b.count)
     val docs = new Array[Long](b.count)

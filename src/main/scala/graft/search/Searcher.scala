@@ -553,7 +553,9 @@ final class Searcher(
       .filter(termPred)
       .select(explode(col("blocks")).as("b")).select("b.*")
       .as[PostingBlock]
-      .mapPartitions(it => it.flatMap(b => PostingsCodec.decodeBlock(b).docs.iterator))
+      // doc-ids-only decode: a wide expansion (e.g. [a TO z]) touches much of
+      // the vocabulary — skipping freq/doclen decode cuts the scan ~3x
+      .mapPartitions(it => it.flatMap(b => PostingsCodec.decodeDocIds(b).iterator))
       .toDF("docId")
       .distinct()
       .withColumn("score", lit(boost))
