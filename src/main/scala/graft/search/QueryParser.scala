@@ -106,10 +106,16 @@ object QueryParser {
         case _ =>
           val s = i
           while (i < n && !in.charAt(i).isWhitespace &&
-                 !"()\"^+".contains(in.charAt(i)) &&
+                 !"()\"^+[{".contains(in.charAt(i)) &&
                  !(in.charAt(i) == '~')) i += 1
           var w = in.substring(s, i)
-          // field prefix: accepted, stripped (single-field engine)
+          // field prefix: accepted, stripped (single-field engine); a word
+          // that is ONLY a field prefix (`text:` before `"..."`, `[..]`, `(`)
+          // attaches to the next token — drop it here
+          if (w.nonEmpty && w.last == ':' && i < n &&
+              "\"[{(/".contains(in.charAt(i))) {
+            // skip emitting; the following token is the field's value
+          } else {
           val colon = w.indexOf(':')
           if (colon > 0 && colon < w.length - 1) w = w.substring(colon + 1)
           w match {
@@ -125,6 +131,7 @@ object QueryParser {
                   Some(if (i > ds) in.substring(ds, i).toInt else 2)
                 } else None
               out += Word(w, fuzzy, readBoost())
+          }
           }
       }
     }

@@ -72,6 +72,8 @@ class QueryParserSpec extends AnyFunSuite {
 
   test("field prefix is accepted and stripped") {
     assert(p("text:spark") == TermQuery("spark"))
+    assert(p("text:\"a b\"") == PhraseQuery(Seq("a", "b")))
+    assert(p("text:[agg TO batch]") == TermRangeQuery(Some("agg"), Some("batch"), true, true))
   }
 
   test("multi-token word becomes phrase") {

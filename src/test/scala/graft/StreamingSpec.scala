@@ -70,5 +70,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val segIds = streamed.segments.select("segmentId").collect().map(_.getLong(0)).toSet
     assert(segIds.size >= 2)
     assert(segIds.forall(_ >= (1L << 40)))
+
+    // the incrementally-grown index satisfies the full CheckIndex contract
+    val violations = CheckIndex.check(streamed)
+    assert(violations.isEmpty, violations.take(3).mkString("; "))
   }
 }
