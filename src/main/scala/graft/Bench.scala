@@ -6,33 +6,44 @@ import graft.search.{ScoringMode, Searcher}
 import graft.webtext.{PageGen, WebIndex}
 import org.apache.spark.sql.SparkSession
 
-/** Round benchmark (driver contract: ONE JSON line on stdout).
+/** Round benchmark (driver contract: ONE JSON line on stdout; the same line
+  * is also written to `BENCH.json` in the working directory because sbt
+  * prefixes stdout with `[info]`, which broke driver-side parsing in r1).
   *
   * Three phases:
   *  1. the driver-harness operator queries on `SPARK_GRAFT_SF_DIR` at
   *     `local[SPARK_GRAFT_CPUS]` — per-query seconds in `"queries"`;
-  *  2. the north-rule scaling run: the identical index build (synthesis →
+  *  2. the north-rule scaling run: the identical index build (late-mat url
   *     doc-id assignment → segment build → salted merge) over the identical
   *     deterministic webtext corpus at `local[2]` (N) and `local[8]` (4N)
   *     — both below this box's memory-bandwidth saturation, so the ratio
   *     measures job scaling, the property an N- vs 4N-executor cluster has —
   *     plus `local[32]` for the hardware-ceiling-bound secondary pair; input
   *     and shuffle partitioning fixed so only core count varies. Reports
-  *     docs/sec at each and both efficiencies (BASELINE.md §2-3);
+  *     docs/sec at each, both efficiencies, and per-point task evidence
+  *     (achieved parallelism, CPU fraction, GC fraction, bytes written) so a
+  *     slow/contended environment is diagnosable from the JSON alone
+  *     (BASELINE.md §2-3);
   *  3. BM25 top-k p95 latency over the reference query set (FIXTURES.md §2)
   *     on the merged index at 32 cores.
   *
-  * Env knobs: `SPARK_GRAFT_BENCH_DOCS` (default 1000000) scales phase 2/3;
-  * `SPARK_GRAFT_SCALING=0` skips phases 2-3 (fast correctness-iteration loop).
+  * Env knobs: `SPARK_GRAFT_BENCH_DOCS` (default 1500000) scales phase 2/3;
+  * `SPARK_GRAFT_SCALING=0` skips phases 2-3; `SPARK_GRAFT_QUERIES=0` skips
+  * phase 1 (fast iteration loops).
   */
 object Bench {
 
-  private def session(cores: Int, shufflePartitions: Int): SparkSession = {
-    val s = SparkSession.builder()
+  private def session(cores: Int, shufflePartitions: Int,
+                      smallScanBatch: Boolean = false): SparkSession = {
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // index-wholesale sessions (build/merge/serve): bound the vectorized
+    // reader batch so threads × (rows × multi-KB postings payload) stays in
+    // heap — see InvertedIndex.open scaladoc
+    val b2 = if (smallScanBatch) b.config("spark.sql.parquet.columnarReaderBatchSize", 256) else b
+    val s = b2.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -46,30 +57,62 @@ object Bench {
     }
   }
 
-  /** Full build incl. merge at `cores`; returns wall seconds.
+  /** Per-build task-level evidence: achieved parallelism, CPU/GC fractions,
+    * volume written — enough to tell "the job stopped scaling" apart from
+    * "the environment throttled CPU or IO" straight from BENCH.json. */
+  private final class TaskProbe(spark: SparkSession) {
+    private val wall = new java.util.concurrent.atomic.AtomicLong
+    private val cpu = new java.util.concurrent.atomic.AtomicLong
+    private val gc = new java.util.concurrent.atomic.AtomicLong
+    private val outBytes = new java.util.concurrent.atomic.AtomicLong
+    private val shufBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          wall.addAndGet(m.executorRunTime)
+          cpu.addAndGet(m.executorCpuTime / 1000000)
+          gc.addAndGet(m.jvmGCTime)
+          outBytes.addAndGet(m.outputMetrics.bytesWritten)
+          shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+    def json(wallSec: Double): String = {
+      Thread.sleep(300) // listener bus drain
+      val tw = math.max(wall.get, 1L)
+      f""""task_sec":${tw / 1e3}%.1f,"parallelism":${tw / 1e3 / wallSec}%.2f,""" +
+        f""""cpu_frac":${cpu.get.toDouble / tw}%.2f,"gc_frac":${gc.get.toDouble / tw}%.2f,""" +
+        f""""bytes_written":${outBytes.get},"shuffle_write_bytes":${shufBytes.get}"""
+    }
+  }
+
+  /** Full build incl. merge at `cores`; returns (wall seconds, evidence json,
+    * merged dir).
     *
     * The JOB is identical across core counts — 64 input partitions, 64
     * shuffle partitions, same deterministic corpus bytes — only the number of
     * executor threads varies, which is the sandbox stand-in for an N- vs
     * 4N-executor cluster running the same partitioned job.
     *
-    * Deletes its work dirs unless `keep` (a full run writes several GB; the
-    * per-round driver disk is finite). */
+    * Deletes its work dirs unless `keep` (the per-round driver disk is
+    * finite). */
   private def timedBuild(cores: Int, nDocs: Long, p: PageGen.Params,
-                         keep: Boolean = false): (Double, String) = {
-    val spark = session(cores, shufflePartitions = 64)
+                         keep: Boolean = false): (Double, String, String) = {
+    val spark = session(cores, shufflePartitions = 64, smallScanBatch = true)
+    val probe = new TaskProbe(spark)
     val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-n$cores-").toString
     val t0 = System.nanoTime()
-    val pages = PageGen.synthesize(spark, nDocs, 64, p)
-    val idx = WebIndex.build(pages, dir, IndexConfig(SimpleAnalyzer, withPositions = true),
-      numPartitions = 64)
+    val idx = WebIndex.buildGenerated(spark, nDocs, 64, p, dir,
+      IndexConfig(SimpleAnalyzer, withPositions = true))
     SegmentMerger.merge(idx, s"$dir-merged", computeMetrics = false)
     val sec = (System.nanoTime() - t0) / 1e9
+    val evidence = probe.json(sec)
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     if (!keep) { rmTree(s"$dir-merged"); rmTree(dir) }
-    (sec, s"$dir-merged")
+    (sec, evidence, s"$dir-merged")
   }
 
   def main(args: Array[String]): Unit = {
@@ -80,21 +123,26 @@ object Bench {
     // ~1000 s of single-core-equivalent work for eff >= 0.8 at 4x cores
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1500000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
+    val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
     val p = PageGen.Params()
 
     // ---- phase 1: driver-harness operator queries
-    val spark1 = session(cpus, cpus)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark1, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    var qs = "{}"
+    var total = 0.0
+    if (doQueries) {
+      val spark1 = session(cpus, cpus)
+      val results = SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark1, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      spark1.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      total = if (results.nonEmpty) results.values.sum else 0.0
     }
-    spark1.stop()
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
 
     var scalingJson = ""
     if (doScaling) {
@@ -107,9 +155,9 @@ object Bench {
       // hardware-ceiling-bound on shared silicon (per-core CPU throughput
       // halves at 32 threads; see BASELINE.md §3 analysis).
       timedBuild(8, 2000, p) // JVM warmup: classloading + codegen, untimed
-      val (sec2, _) = timedBuild(2, benchDocs, p)
-      val (secN, _) = timedBuild(8, benchDocs, p)
-      val (sec4N, mergedDir) = timedBuild(32, benchDocs, p, keep = true)
+      val (sec2, ev2, _) = timedBuild(2, benchDocs, p)
+      val (secN, evN, _) = timedBuild(8, benchDocs, p)
+      val (sec4N, ev4N, mergedDir) = timedBuild(32, benchDocs, p, keep = true)
       val dps2 = benchDocs / sec2
       val dpsN = benchDocs / secN
       val dps4N = benchDocs / sec4N
@@ -118,7 +166,7 @@ object Bench {
 
       // ---- phase 3: BM25 top-k p95 latency on the merged index built by
       // the 32-core phase-2 run (same corpus — no redundant rebuild)
-      val spark3 = session(32, 32)
+      val spark3 = session(32, 32, smallScanBatch = true)
       // serving mode: postings + stats pinned in cluster cache (the
       // page-cache-resident index analog) — queries scan memory, not parquet
       val midx = graft.index.InvertedIndex.open(spark3, mergedDir).warm()
@@ -132,16 +180,23 @@ object Bench {
       val p50 = lat(lat.size / 2)
       val p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
       spark3.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
       rmTree(mergedDir)
       rmTree(mergedDir.stripSuffix("-merged"))
 
       scalingJson =
         f""","index_build":{"docs":$benchDocs,"sec_n2":$sec2%.1f,"sec_n8":$secN%.1f,"sec_n32":$sec4N%.1f,""" +
         f""""docs_per_sec_n2":$dps2%.0f,"docs_per_sec_n8":$dpsN%.0f,"docs_per_sec_n32":$dps4N%.0f,""" +
-        f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_n8_n32_hw_bound":$effHw%.3f},""" +
+        f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_n8_n32_hw_bound":$effHw%.3f,""" +
+        s""""evidence_n2":{$ev2},"evidence_n8":{$evN},"evidence_n32":{$ev4N}},""" +
         f""""bm25_topk":{"n_queries":${lat.size},"p50_ms":$p50%.0f,"p95_ms":$p95%.0f}"""
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson}"""
+    // sbt's [info]/[error] stdout prefixes broke driver parsing of r1; the
+    // file copy is the machine-readable channel
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
+    println(json)
   }
 }

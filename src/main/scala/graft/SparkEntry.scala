@@ -45,7 +45,7 @@ object Indexes {
   * Every query both exercises the real engine (inverted-index build + BM25
   * search over compressed postings) and has an ANSI-SQL oracle that DuckDB
   * can evaluate directly on the same `documents` parquet. Scores are emitted
-  * in [[ScoringMode.PreciseBM25]] (double, exact doc lengths) rounded to 6
+  * in [[ScoringMode.PreciseBM25]] (double, byte-quantized doc lengths) rounded to 6
   * decimals; ordering uses the unrounded score with docId tiebreak in both
   * systems.
   */
@@ -279,11 +279,20 @@ object SparkEntry {
 
   // ----------------------------------------------------------- oracle SQL
 
+  /** The 256 representable values of the engine's one-byte SmallFloat length
+    * norm ([[graft.core.SmallFloat.LengthTable]]) — quantization in SQL is
+    * "largest representable value ≤ len" (intToByte4 floors the mantissa). */
+  private val QuantValues: String =
+    SmallFloat.LengthTable.map(v => s"($v)").mkString(",")
+
   /** Shared CTE prefix: tokenize `documents` exactly like [[SimpleAnalyzer]]
     * (lowercase, maximal `[a-z0-9]+` runs, 0-based positions over kept
-    * tokens), then doc lengths and collection stats. */
+    * tokens), then doc lengths — exact (`dl`, for collection stats) and
+    * byte-quantized (`dlq`, what the engine's postings norms decode to and
+    * what every similarity scores against, mirroring the reference's one-byte
+    * norms) — and collection stats. */
   private val CTE: String =
-    """WITH raw AS (
+    s"""WITH raw AS (
       |  SELECT doc_id,
       |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
       |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
@@ -291,8 +300,12 @@ object SparkEntry {
       |), toks AS (
       |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
       |  FROM raw WHERE term <> ''
-      |), dl AS (
+      |), quant(q) AS (
+      |  SELECT * FROM (VALUES $QuantValues)
+      |), dl0 AS (
       |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+      |), dl AS (
+      |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
       |), stats AS (
       |  SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
       |)""".stripMargin
@@ -310,7 +323,7 @@ object SparkEntry {
   private def termScoreSql(term: String): String =
     s"""SELECT tf.doc_id AS doc_id,
        |  ${idfSql(s"(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = '$term'))")}
-       |  * ${tfNormSql("tf.freq", "dl.dl")} AS score
+       |  * ${tfNormSql("tf.freq", "dl.dlq")} AS score
        |FROM (SELECT doc_id, count(*) AS freq FROM toks WHERE term = '$term' GROUP BY doc_id) tf
        |JOIN dl ON tf.doc_id = dl.doc_id""".stripMargin
 
@@ -339,7 +352,7 @@ object SparkEntry {
       s"""SELECT pf.doc_id,
          |  (${idfSql("(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'batch'))")}
          |   + ${idfSql("(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'batch'))")})
-         |  * ${tfNormSql("pf.freq", "dl.dl")} AS score
+         |  * ${tfNormSql("pf.freq", "dl.dlq")} AS score
          |FROM (
          |  SELECT a.doc_id, count(*) AS freq
          |  FROM (SELECT doc_id, pos FROM toks WHERE term = 'batch') a
@@ -400,7 +413,7 @@ object SparkEntry {
          |  ${idfSql(
              "greatest((SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'fast')), " +
              "(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'slow')))")}
-         |  * ${tfNormSql("tf.freq", "dl.dl")} AS score
+         |  * ${tfNormSql("tf.freq", "dl.dlq")} AS score
          |FROM (SELECT doc_id, count(*) AS freq FROM toks WHERE term IN ('fast', 'slow') GROUP BY doc_id) tf
          |JOIN dl ON tf.doc_id = dl.doc_id""".stripMargin, 10),
 
@@ -464,7 +477,7 @@ object SparkEntry {
       s"""$CTE
          |SELECT doc_id, round(score, 6) AS score FROM (
          |  SELECT tf.doc_id,
-         |         (i.idf * i.idf) * sqrt(tf.freq) / sqrt(dl.dl) AS score
+         |         (i.idf * i.idf) * sqrt(tf.freq) / sqrt(dl.dlq) AS score
          |  FROM (SELECT doc_id, count(*) AS freq FROM toks WHERE term = 'spark' GROUP BY doc_id) tf
          |  JOIN dl ON tf.doc_id = dl.doc_id
          |  CROSS JOIN (SELECT ln(((SELECT n FROM stats) + 1) /
@@ -480,7 +493,7 @@ object SparkEntry {
          |  ORDER BY t.freq * ${idfSql("dfs.df")} DESC, t.term LIMIT 5)
          |SELECT doc_id, round(score, 6) AS score FROM (
          |  SELECT tf.doc_id,
-         |         sum(${idfSql("dfs.df")} * ${tfNormSql("tf.freq", "dl.dl")}) AS score
+         |         sum(${idfSql("dfs.df")} * ${tfNormSql("tf.freq", "dl.dlq")}) AS score
          |  FROM (SELECT doc_id, term, count(*) AS freq FROM toks
          |        WHERE term IN (SELECT term FROM mlt) GROUP BY doc_id, term) tf
          |  JOIN dfs ON dfs.term = tf.term
@@ -516,7 +529,7 @@ object SparkEntry {
          |     + ${idfSql("(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'slow'))")}
          |     + ${idfSql("(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'join'))")}
          |     + ${idfSql("(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'scan'))")})
-         |    * ${tfNormSql("pf.freq", "dl.dl")} AS score
+         |    * ${tfNormSql("pf.freq", "dl.dlq")} AS score
          |  FROM pf JOIN dl ON pf.doc_id = dl.doc_id
          |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
 
@@ -616,12 +629,12 @@ object SparkEntry {
          |  SELECT doc_id, sum(s) AS score FROM (
          |    SELECT doc_id,
          |      ${idfSql("(SELECT df FROM bdf)")}
-         |      * (tf_t / (tf_t + 1.2 * (1 - 0.75 + 0.75 * tlen / (SELECT avgdl FROM tavg)))) AS s
+         |      * (tf_t / (tf_t + 1.2 * (1 - 0.75 + 0.75 * (SELECT max(q) FROM quant WHERE q <= ttl.tlen) / (SELECT avgdl FROM tavg)))) AS s
          |    FROM ttl WHERE tf_t > 0
          |    UNION ALL
          |    SELECT doc_id,
          |      ${idfSql("(SELECT df FROM bdf)")}
-         |      * (tf_b / (tf_b + 1.2 * (1 - 0.75 + 0.75 * blen / (SELECT avgdl FROM bavg)))) AS s
+         |      * (tf_b / (tf_b + 1.2 * (1 - 0.75 + 0.75 * (SELECT max(q) FROM quant WHERE q <= bdy.blen) / (SELECT avgdl FROM bavg)))) AS s
          |    FROM bdy WHERE tf_b > 0
          |  ) u GROUP BY doc_id
          |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
@@ -633,7 +646,7 @@ object SparkEntry {
          |  SELECT tf.doc_id,
          |    greatest(
          |      ln(1 + tf.freq / (2000.0 * (((SELECT ttf FROM tstat) + 1.0) / ((SELECT total FROM s2) + 1.0))))
-         |      + ln(2000.0 / (dl.dl + 2000.0)), 0.0) AS score
+         |      + ln(2000.0 / (dl.dlq + 2000.0)), 0.0) AS score
          |  FROM (SELECT doc_id, count(*) AS freq FROM toks WHERE term = 'spark' GROUP BY doc_id) tf
          |  JOIN dl ON tf.doc_id = dl.doc_id
          |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,

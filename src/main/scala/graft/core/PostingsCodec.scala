@@ -97,8 +97,11 @@ object VByte {
   * pareto frontier of (freq, norm) pairs for a tighter bound; this single
   * pair is looser but always valid.)
   *
-  * Exact doc lengths are stored inline (VByte) so both scoring modes —
-  * byte-quantized float BM25 and exact-double BM25 — run join-free.
+  * Per-doc lengths are stored as the reference's one-byte SmallFloat norm
+  * (`lucene/core/src/java/org/apache/lucene/index/IndexingChain.java` norms;
+  * `BM25Similarity` scores against the byte, not the true length), so scoring
+  * runs join-free at one byte per posting. Exact lengths live once per doc in
+  * the `docs` table, not once per posting.
   *
   * @param firstDoc  first doc id in the block
   * @param lastDoc   last doc id (inclusive) — enables doc-range skipping
@@ -107,7 +110,7 @@ object VByte {
   * @param minDlb    norm byte of the shortest doc in the block
   * @param docDeltas VByte doc-id gaps (first value 0, relative to firstDoc)
   * @param freqs     VByte term frequencies (≥ 1)
-  * @param doclens   VByte exact token counts of each member doc
+  * @param dlbs      raw SmallFloat norm byte per member doc (count bytes)
   * @param positions VByte per-doc position deltas, concatenated in doc order;
   *                  doc i contributes freqs(i) values (delta vs previous
   *                  position in the doc, first absolute). Empty when positions
@@ -121,10 +124,12 @@ final case class PostingBlock(
     minDlb: Byte,
     docDeltas: Array[Byte],
     freqs: Array[Byte],
-    doclens: Array[Byte],
+    dlbs: Array[Byte],
     positions: Array[Byte])
 
-/** Decoded view of one block. */
+/** Decoded view of one block.
+  * `doclens(i)` is the QUANTIZED doc length `byte4ToInt(dlbs(i))` — the same
+  * value the reference's BM25 reads back through its 256-entry norm cache. */
 final case class DecodedBlock(
     docs: Array[Long],
     freqs: Array[Int],
@@ -143,7 +148,8 @@ object PostingsCodec {
   val BlocksPerRow = 32
 
   /** Encode one term's postings (sorted by doc id, doc-unique) into blocks.
-    * `doclens(i)` is the exact token count of doc `docs(i)`.
+    * `doclens(i)` is the token count of doc `docs(i)` (exact or already
+    * quantized — quantization is idempotent).
     * `positions` may be null for docs/freqs-only indexing.
     */
   def encodeBlocks(
@@ -159,7 +165,7 @@ object PostingsCodec {
       val n = end - start
       val deltas = new Array[Long](n)
       val fr = new Array[Int](n)
-      val dls = new Array[Int](n)
+      val dlb = new Array[Byte](n)
       var maxFreq = 0
       var minLen = Int.MaxValue
       var minDlb: Byte = 0
@@ -170,9 +176,10 @@ object PostingsCodec {
         deltas(i) = d - prev
         prev = d
         fr(i) = freqs(start + i)
-        dls(i) = doclens(start + i)
+        val dl = doclens(start + i)
+        dlb(i) = SmallFloat.intToByte4(dl)
         if (fr(i) > maxFreq) maxFreq = fr(i)
-        if (dls(i) < minLen) { minLen = dls(i); minDlb = SmallFloat.intToByte4(dls(i)) }
+        if (dl < minLen) { minLen = dl; minDlb = dlb(i) }
         i += 1
       }
       val posBytes =
@@ -203,14 +210,14 @@ object PostingsCodec {
         minDlb = minDlb,
         docDeltas = VByte.encodeLongs(deltas),
         freqs = VByte.encode(fr),
-        doclens = VByte.encode(dls),
+        dlbs = dlb,
         positions = posBytes)
       start = end
     }
     out.result()
   }
 
-  /** Doc-ids-only decode (delta chain; freqs/doclens/positions untouched) —
+  /** Doc-ids-only decode (delta chain; freqs/norms/positions untouched) —
     * for constant-score doc-set paths (term expansion, field-exists) where
     * decoding the full block would triple the work. */
   def decodeDocIds(b: PostingBlock): Array[Long] = {
@@ -229,7 +236,9 @@ object PostingsCodec {
     var i = 0
     while (i < b.count) { acc += deltas(i); docs(i) = acc; i += 1 }
     val freqs = VByte.decode(b.freqs, b.count)
-    val doclens = VByte.decode(b.doclens, b.count)
+    val doclens = new Array[Int](b.count)
+    i = 0
+    while (i < b.count) { doclens(i) = SmallFloat.LengthTable(b.dlbs(i) & 0xFF); i += 1 }
     val positions =
       if (!withPositions || b.positions.isEmpty) Array.empty[Array[Int]]
       else {

@@ -51,7 +51,10 @@ object CheckIndex {
               if (d.positions.nonEmpty) {
                 val ps = d.positions(i)
                 if (ps.length != d.freqs(i)) errs += s"$term: positions count != freq"
-                if (ps.nonEmpty && (ps.head < 0 || ps.last >= d.doclens(i)))
+                // doclens are byte-quantized (≤ true length), so positions are
+                // only bounded by the next quantization level above it
+                if (ps.nonEmpty && (ps.head < 0 ||
+                    SmallFloat.intToByte4(ps.last) > SmallFloat.intToByte4(d.doclens(i))))
                   errs += s"$term: position out of doc length range"
                 var k = 1
                 while (k < ps.length) {

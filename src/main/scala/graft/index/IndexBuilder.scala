@@ -101,7 +101,6 @@ object IndexBuilder {
             resume: Boolean = false): InvertedIndex = {
     val spark = input.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", 256) // see InvertedIndex.open
 
     val completedPartitions: Set[Int] =
       if (resume && new java.io.File(s"$dir/data").exists()) {
@@ -118,13 +117,17 @@ object IndexBuilder {
       else new SegmentFlusher(cfg, 0L, pid, docs)
     }
 
-    staged.write
+    staged.toDF().withColumn("batchNs", lit(0L)).write
       .mode(if (resume) "append" else "overwrite")
-      .partitionBy("kind")
+      .partitionBy("kind", "batchNs")
       // 32 MB row groups: with one open parquet file per write task, this
       // caps per-task writer buffering so executor-thread count × (flush
       // buffer + writer buffer) stays well inside a modest heap
       .option("parquet.block.size", 32 * 1024 * 1024)
+      // zstd over the varint payloads: ~35-40% smaller than snappy on
+      // postings blocks — staged bytes are the build's scaling bottleneck
+      // on bandwidth-limited storage, and spare CPU absorbs the codec cost
+      .option("compression", "zstd")
       .parquet(s"$dir/data")
 
     refreshStats(spark, dir)
@@ -138,6 +141,13 @@ object IndexBuilder {
     * namespace — the incremental surface behind [[graft.streaming.StreamingIndexer]]
     * (the reference's flushed-but-merge-pending NRT segments,
     * `lucene/core/src/java/org/apache/lucene/index/DirectoryReader.java:48`).
+    *
+    * IDEMPOTENT per namespace: rows land in the `batchNs=<segNamespace>`
+    * partition and the write uses dynamic partition overwrite, so a replayed
+    * micro-batch (foreachBatch is at-least-once) REPLACES its own prior
+    * partition instead of appending duplicates — no other batch or base-build
+    * partition is touched (ADVICE r1 #1).
+    *
     * Does NOT refresh global stats; callers batch that via [[refreshStats]]
     * (the `SearcherManager.maybeRefresh` analog). */
   private[graft] def appendBatch(batch: Dataset[InputDoc], dir: String,
@@ -147,8 +157,12 @@ object IndexBuilder {
     val bc = spark.sparkContext.broadcast(config)
     batch.mapPartitions { docs =>
       new SegmentFlusher(bc.value, segNamespace, TaskContext.getPartitionId(), docs)
-    }.write.mode("append").partitionBy("kind")
+    }.toDF().withColumn("batchNs", lit(segNamespace))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("kind", "batchNs")
       .option("parquet.block.size", 32 * 1024 * 1024)
+      .option("compression", "zstd")
       .parquet(s"$dir/data")
   }
 
@@ -426,13 +440,18 @@ final class InvertedIndex private (
 }
 
 object InvertedIndex {
+  /** Open an index at `dir`.
+    *
+    * Sizing note for large-index sessions: postings rows carry multi-KB
+    * nested binary payloads, so the default 4096-row vectorized-reader batch
+    * buffers hundreds of MB per scan task (OnHeapColumnVector.appendBytes OOM
+    * at high thread counts). Sessions that scan a large index wholesale
+    * (merge, warm-up, benchmarks) should be created with
+    * `spark.sql.parquet.columnarReaderBatchSize ≈ 256` (256 × ~50 KB ≈ 12 MB
+    * per task). This is deliberately NOT set here: a library must not mutate
+    * the caller's session conf and silently degrade every other parquet scan
+    * in it (ADVICE r1 #2). */
   def open(spark: SparkSession, dir: String): InvertedIndex = {
-    // Postings rows carry multi-KB nested binary payloads; the default
-    // 4096-row vectorized-reader batch then buffers hundreds of MB per scan
-    // task (OnHeapColumnVector.appendBytes OOM at high thread counts).
-    // 256 rows × ~50 KB ≈ 12 MB per task keeps N concurrent scan tasks
-    // bounded while staying vectorized.
-    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", 256)
     val parentPath = java.nio.file.Paths.get(s"$dir/parent")
     val parent =
       if (java.nio.file.Files.exists(parentPath))

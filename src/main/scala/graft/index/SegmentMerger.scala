@@ -87,7 +87,9 @@ object SegmentMerger {
       computeMetrics: Boolean = true): (InvertedIndex, MergeMetrics) = {
     val spark = index.spark
     import spark.implicits._
-    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", 256) // see InvertedIndex.open
+    // NOTE: callers merging large indexes should run in a session created
+    // with spark.sql.parquet.columnarReaderBatchSize ≈ 256 (see
+    // InvertedIndex.open scaladoc); the library does not mutate session conf.
 
     val postings = index.postings
     val rowsIn = if (computeMetrics) postings.count() else -1L
@@ -168,9 +170,10 @@ object SegmentMerger {
         }
       }
 
-    merged.toDF()
-      .write.mode("overwrite").partitionBy("kind")
+    merged.toDF().withColumn("batchNs", lit(0L))
+      .write.mode("overwrite").partitionBy("kind", "batchNs")
       .option("parquet.block.size", 32 * 1024 * 1024)
+      .option("compression", "zstd")
       .parquet(s"$targetDir/data")
 
     // Docs, segment manifests and global stats are merge-invariant: the

@@ -108,14 +108,29 @@ object Grouping {
     * Returns `(group, groupRank, docId, score, rank)`. */
   def topGroups(matched: DataFrame, corpus: DataFrame, docIdCol: String,
                 groupDim: String, nGroups: Int, kPerGroup: Int): DataFrame = {
+    val spark = matched.sparkSession
     val perGroup = topKPerGroup(matched, corpus, docIdCol, groupDim, kPerGroup)
-    val wg = Window.orderBy(desc("headScore"), asc(groupDim))
-    val groupRanks = perGroup.filter(col("rank") === 1)
+    // Pass 1 ranks the groups. nGroups is a top-k, so take it with
+    // orderBy+limit (TakeOrderedAndProject: bounded per-partition heaps merged
+    // on the driver) and rank the ≤ nGroups survivors driver-side — never an
+    // unpartitioned global Window, which would funnel every group head
+    // through one task (the r1 `WindowExec: No Partition Defined` hotspot).
+    val heads = perGroup.filter(col("rank") === 1)
       .select(col(groupDim), col("score").as("headScore"))
-      .withColumn("groupRank", row_number().over(wg))
-      .filter(col("groupRank") <= nGroups)
-      .select(col(groupDim), col("groupRank"))
-    perGroup.join(groupRanks, groupDim)
+      .orderBy(desc("headScore"), asc(groupDim))
+      .limit(nGroups)
+      .collect()
+    val dimType = perGroup.schema(groupDim).dataType
+    val rankRows = heads.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), i + 1)
+    }
+    val ranksDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rankRows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(groupDim, dimType),
+        org.apache.spark.sql.types.StructField("groupRank",
+          org.apache.spark.sql.types.IntegerType))))
+    perGroup.join(broadcast(ranksDf), groupDim)
       .select(col(groupDim), col("groupRank"), col("docId"), col("score"), col("rank"))
   }
 }

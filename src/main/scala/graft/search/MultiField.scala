@@ -64,22 +64,26 @@ object MultiField {
     }
     val freqs = perField.reduce(_ unionAll _)
       .groupBy("docId").agg(sum("wfreq").as("freq"))
-    // the pseudo-field length sums ALL fields' weighted lengths — including
+    // The pseudo-field length sums ALL fields' weighted lengths — including
     // fields where the term did not match (the merged-norm semantics of
-    // `CombinedFieldQuery`'s single length normalization)
-    val dls = fields.map { case (ix, w) =>
-      ix.docs.select(col("docId"), (col("doclen") * lit(w)).as("wdl"))
-    }.reduce(_ unionAll _)
-      .groupBy("docId").agg(sum("wdl").as("dl"))
-    val union = freqs.join(dls, "docId")
-    // df of the pseudo-field = docs matching in ANY field (TermStates analog:
-    // one driver-side stats action per query)
-    val df = union.count()
-    if (df == 0) return union.select(col("docId"), lit(0.0).as("score")).limit(0)
-    val w = idf(docCount, df)
-    union.select(col("docId"),
-      (lit(w) * (col("freq") / (col("freq") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))))
-        .as("score"))
+    // `CombinedFieldQuery`'s single length normalization) — but only for
+    // MATCHED docs: each field's per-doc length joins against the (small)
+    // matched set, so no full-corpus length aggregation ever runs.
+    val withDl = fields.zipWithIndex.foldLeft(freqs) { case (acc, ((ix, w), i)) =>
+      acc.join(ix.docs.select(col("docId"), (col("doclen") * lit(w)).as(s"wdl$i")),
+        Seq("docId"), "left")
+    }
+    val dlExpr = fields.indices.map(i => coalesce(col(s"wdl$i"), lit(0.0))).reduce(_ + _)
+    val union = withDl.select(col("docId"), col("freq"), dlExpr.as("dl"))
+    // df of the pseudo-field = docs matching in ANY field, computed IN the
+    // plan (a broadcast scalar, no separate driver-side count job)
+    val dfFrame = union.agg(count(lit(1)).cast("double").as("dfv"))
+    val idfCol = log(lit(1.0) +
+      (lit(docCount.toDouble) - col("dfv") + lit(0.5)) / (col("dfv") + lit(0.5)))
+    union.crossJoin(broadcast(dfFrame))
+      .select(col("docId"),
+        (idfCol * (col("freq") / (col("freq") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))))
+          .as("score"))
   }
 
   /** BlendedTermQuery: per-field BM25 with blended (max) document frequency,

@@ -63,7 +63,9 @@ object QueryParser {
         val s = i
         while (i < n && (in.charAt(i).isDigit || in.charAt(i) == '.')) i += 1
         if (i == s) throw ParseException("dangling ^")
-        Some(in.substring(s, i).toFloat)
+        val str = in.substring(s, i)
+        try Some(str.toFloat)
+        catch { case _: NumberFormatException => throw ParseException(s"bad boost: $str") }
       } else None
     while (i < n) {
       val c = in.charAt(i)

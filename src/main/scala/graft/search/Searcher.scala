@@ -61,10 +61,13 @@ final case class PosHit(docId: Long, doclen: Int, positions: Array[Int])
   *    byte-quantized length norms, 256-entry norm-inverse cache, float ops
   *    (`lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java:220-233`).
   *    This is the rank-identity mode.
-  *  - [[ScoringMode.PreciseBM25]]: the same model in double precision on
-  *    exact doc lengths, using only ANSI-SQL-expressible arithmetic
-  *    (`idf(df) * freq / (freq + k1*(1 - b + b*dl/avgdl))`), so an external
-  *    SQL engine (DuckDB) can serve as a row-exact oracle.
+  *  - [[ScoringMode.PreciseBM25]]: the same model in double precision on the
+  *    byte-quantized doc length (`SmallFloat.byte4ToInt(intToByte4(dl))` — the
+  *    value the reference itself scores against), using only
+  *    ANSI-SQL-expressible arithmetic
+  *    (`idf(df) * freq / (freq + k1*(1 - b + b*dlq/avgdl))`), so an external
+  *    SQL engine (DuckDB) can serve as a row-exact oracle (the oracle applies
+  *    the same quantization via a 256-level lookup).
   *  - [[ScoringMode.Classic]]: TF-IDF (`ClassicSimilarity.java:45-72`).
   */
 sealed trait ScoringMode extends Serializable
@@ -72,16 +75,16 @@ object ScoringMode {
   final case class LuceneBM25(k1: Float = 1.2f, b: Float = 0.75f) extends ScoringMode
   final case class PreciseBM25(k1: Double = 1.2, b: Double = 0.75) extends ScoringMode
   final case class Classic() extends ScoringMode
-  /** Classic TF-IDF in double precision on exact doc lengths (the
+  /** Classic TF-IDF in double precision on quantized doc lengths (the
     * SQL-oracle-reproducible variant of [[Classic]]):
-    * `idf = ln((N+1)/(df+1)) + 1`, `score = idf² · √freq / √dl`. */
+    * `idf = ln((N+1)/(df+1)) + 1`, `score = idf² · √freq / √dlq`. */
   final case class PreciseClassic() extends ScoringMode
   /** Dirichlet-smoothed query-likelihood language model
     * (`lucene/core/src/java/org/apache/lucene/search/similarities/LMDirichletSimilarity.java:76-81`):
     * `score = boost · (ln(1 + freq/(μ·P(t|C))) + ln(μ/(dl+μ)))` clamped at 0,
     * with `P(t|C) = (ttf+1)/(sumTTF+1)`
     * (`LMSimilarity.java:151` DefaultCollectionModel), `μ = 2000`.
-    * Double precision on exact doc lengths — SQL-oracle-reproducible. */
+    * Double precision on quantized doc lengths — SQL-oracle-reproducible. */
   final case class PreciseLMDirichlet(mu: Double = 2000.0) extends ScoringMode
 }
 
@@ -121,7 +124,9 @@ final class Searcher(
 
   private val avgdlPrecise: Double = cs.sumTotalTermFreq / cs.docCount.toDouble
 
-  /** Per-term scorer: (freq, exact doclen) => score. */
+  /** Per-term scorer: (freq, quantized doclen) => score. The doclen a decoded
+    * block carries is already `byte4ToInt(norm byte)`; `intToByte4` is
+    * idempotent on it, so the byte-table modes stay bit-exact. */
   private def termScorer(stats: TermStats, boost: Double): (Int, Int) => Double = mode match {
     case ScoringMode.PreciseBM25(k1, b) =>
       val idf = idfPrecise(stats.docFreq) * boost
@@ -330,7 +335,7 @@ final class Searcher(
     def decodeSum(selected: DataFrame): DataFrame = {
       val scored = selected.select(col("term"), struct(
           col("firstDoc"), col("lastDoc"), col("count"), col("maxFreq"), col("minDlb"),
-          col("docDeltas"), col("freqs"), col("doclens"), col("positions")).as("b"))
+          col("docDeltas"), col("freqs"), col("dlbs"), col("positions")).as("b"))
         .as[(String, PostingBlock)]
         .mapPartitions { it =>
           it.flatMap { case (t, b) =>
@@ -393,21 +398,73 @@ final class Searcher(
       .select(col("docId"), scoreUdf(col("freq"), col("doclen")).as("score"))
   }
 
+  // ------------------------------------------------ leapfrog (rarest-first)
+
+  /** Docs-per-broadcast bound for the rarest-term leapfrog: 1M doc ids ≈ 8 MB
+    * broadcast — past that the intersection isn't selective enough to pay. */
+  private val LeapfrogMaxDf = 1000000L
+
+  /** Rarest-term doc set as a sorted array, or None when every query term is
+    * too common for the intersection to pay. The distributed analog of the
+    * reference's cost-sorted conjunction lead
+    * (`lucene/core/src/java/org/apache/lucene/search/ConjunctionDISI.java:36`):
+    * every other term's postings are (a) block-skipped on [firstDoc, lastDoc]
+    * overlap and (b) row-filtered by membership — BEFORE any positions are
+    * decoded or shuffled, so a phrase containing one head term no longer
+    * ships the head term's entire positional postings into the group-by. */
+  private def rarestDocSet(terms: Seq[String], stats: Map[String, TermStats]): Option[(String, Array[Long])] = {
+    val rarest = terms.minBy(t => stats(t).docFreq)
+    if (stats(rarest).docFreq > LeapfrogMaxDf || terms.distinct.size < 2) None
+    else {
+      val docs = blocksOf(rarest)
+        .mapPartitions(it => it.flatMap(b => PostingsCodec.decodeDocIds(b).iterator))
+        .collect()
+      java.util.Arrays.sort(docs)
+      Some((rarest, docs))
+    }
+  }
+
+  /** Block-prune + row-filter a term's positional scan by the rarest term's
+    * doc set (no-op for the rarest term itself). */
+  private def leapfrogged(term: String, lead: Option[(String, Array[Long])]): Dataset[PostingBlock] = {
+    val base = blocksOf(term)
+    lead match {
+      case Some((rarest, sorted)) if term != rarest =>
+        val bcSorted = spark.sparkContext.broadcast(sorted)
+        val overlaps = udf { (first: Long, last: Long) =>
+          val a = bcSorted.value
+          var i = java.util.Arrays.binarySearch(a, first)
+          if (i < 0) i = -i - 1
+          i < a.length && a(i) <= last
+        }
+        base.filter(overlaps(col("firstDoc"), col("lastDoc")))
+      case _ => base
+    }
+  }
+
+  private def inLeadSet(lead: Option[(String, Array[Long])]): Long => Boolean = lead match {
+    case Some((_, sorted)) =>
+      val bc = spark.sparkContext.broadcast(sorted)
+      id => java.util.Arrays.binarySearch(bc.value, id) >= 0
+    case None => _ => true
+  }
+
   /** Exact phrase: per-term positional postings unioned, grouped by doc,
     * position-intersected (two-phase: cheap doc match, then the position
-    * verify, like `lucene/core/src/java/org/apache/lucene/search/ExactPhraseMatcher.java:39`). */
+    * verify, like `lucene/core/src/java/org/apache/lucene/search/ExactPhraseMatcher.java:39`).
+    * Every non-rarest term is leapfrogged by the rarest term's doc set first. */
   private def phraseFrame(terms: Seq[String], stats: Map[String, TermStats], boost: Double): DataFrame = {
     if (terms.exists(t => !stats.contains(t))) return emptyFrame
     val scorer = phraseScorer(terms.map(stats), boost)
+    val lead = rarestDocSet(terms, stats)
+    val member = inLeadSet(lead)
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
-      index.postings
-        .filter(col("term") === lit(t))
-        .select(explode(col("blocks")).as("b")).select("b.*")
-        .as[PostingBlock]
+      leapfrogged(t, lead)
         .mapPartitions { it =>
           it.flatMap { b =>
             val d = PostingsCodec.decodeBlock(b, withPositions = true)
             Iterator.tabulate(d.docs.length)(j => PosHit(d.docs(j), d.doclens(j), d.positions(j)))
+              .filter(h => member(h.docId))
           }
         }
         .toDF("docId", "doclen", "positions")
@@ -455,17 +512,29 @@ final class Searcher(
     if (positions.exists(_.forall(t => !stats.contains(t)))) return emptyFrame
     val allTerms = positions.flatten.distinct.filter(stats.contains)
     val scorer = phraseScorer(allTerms.map(stats), boost)
+    // leapfrog lead: the position index with the smallest summed df — its
+    // alternatives' doc-set union bounds every match
+    val leadAlts = positions.map(_.filter(stats.contains))
+      .minBy(_.map(t => stats(t).docFreq).sum)
+    val lead: Option[(String, Array[Long])] =
+      if (leadAlts.map(t => stats(t).docFreq).sum > LeapfrogMaxDf || positions.size < 2) None
+      else {
+        val docs = leadAlts.map { t =>
+          blocksOf(t).mapPartitions(it => it.flatMap(b => PostingsCodec.decodeDocIds(b).iterator)).collect()
+        }.reduce(_ ++ _).distinct
+        java.util.Arrays.sort(docs)
+        Some((" lead", docs)) // sentinel name: no real term skips the filter
+      }
+    val member = inLeadSet(lead)
     val perPos = positions.zipWithIndex.map { case (alts, i) =>
       val present = alts.filter(stats.contains)
       present.map { t =>
-        index.postings
-          .filter(col("term") === lit(t))
-          .select(explode(col("blocks")).as("b")).select("b.*")
-          .as[PostingBlock]
+        leapfrogged(t, lead)
           .mapPartitions { it =>
             it.flatMap { b =>
               val d = PostingsCodec.decodeBlock(b, withPositions = true)
               Iterator.tabulate(d.docs.length)(j => PosHit(d.docs(j), d.doclens(j), d.positions(j)))
+                .filter(h => member(h.docId))
             }
           }
           .toDF("docId", "doclen", "positions")
@@ -516,15 +585,15 @@ final class Searcher(
                             stats: Map[String, TermStats], boost: Double): DataFrame = {
     if (terms.exists(t => !stats.contains(t))) return emptyFrame
     val window = terms.size + slop
+    val lead = rarestDocSet(terms, stats)
+    val member = inLeadSet(lead)
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
-      index.postings
-        .filter(col("term") === lit(t))
-        .select(explode(col("blocks")).as("b")).select("b.*")
-        .as[PostingBlock]
+      leapfrogged(t, lead)
         .mapPartitions { it =>
           it.flatMap { b =>
             val d = PostingsCodec.decodeBlock(b, withPositions = true)
             Iterator.tabulate(d.docs.length)(j => (d.docs(j), d.positions(j)))
+              .filter(h => member(h._1))
           }
         }
         .toDF("docId", "positions")
@@ -547,18 +616,88 @@ final class Searcher(
 
   /** Multi-term expansion (prefix/range/set/fuzzy/regexp) with constant score
     * — the reference's CONSTANT_SCORE rewrite
-    * (`lucene/core/src/java/org/apache/lucene/search/MultiTermQuery.java:38-83`). */
-  private def expansionFrame(termPred: org.apache.spark.sql.Column, boost: Double): DataFrame =
-    index.postings
-      .filter(termPred)
+    * (`lucene/core/src/java/org/apache/lucene/search/MultiTermQuery.java:38-83`).
+    *
+    * `dictFirst` routes non-pushable predicates (levenshtein, rlike) through
+    * the term dictionary first — ONE predicate evaluation per distinct term
+    * (`termStats`), not one per (term × blockGroup × segment) postings row —
+    * then rewrites to a pushed-down `term IN (...)` scan, the
+    * `IntersectTermsEnum` → `TermInSetQuery` rewrite
+    * (`lucene/core/src/java/org/apache/lucene/index/...`/`MultiTermQuery`).
+    * Pushable predicates (prefix/range/set) skip it: parquet min/max + pushed
+    * filters already prune those scans directly. */
+  private def expansionBlocks(termPred: org.apache.spark.sql.Column,
+                              dictFirst: Boolean): Option[Dataset[PostingBlock]] = {
+    val pred =
+      if (!dictFirst) termPred
+      else {
+        val matched = index.termStats.filter(termPred).select("term").as[String].collect()
+        if (matched.isEmpty) return None
+        col("term").isin(matched.toSeq: _*)
+      }
+    Some(index.postings
+      .filter(pred)
       .select(explode(col("blocks")).as("b")).select("b.*")
-      .as[PostingBlock]
-      // doc-ids-only decode: a wide expansion (e.g. [a TO z]) touches much of
-      // the vocabulary — skipping freq/doclen decode cuts the scan ~3x
-      .mapPartitions(it => it.flatMap(b => PostingsCodec.decodeDocIds(b).iterator))
-      .toDF("docId")
-      .distinct()
-      .withColumn("score", lit(boost))
+      .as[PostingBlock])
+  }
+
+  private def expansionFrame(termPred: org.apache.spark.sql.Column, boost: Double,
+                             dictFirst: Boolean = false): DataFrame =
+    expansionBlocks(termPred, dictFirst) match {
+      case None => emptyFrame
+      case Some(blocks) =>
+        blocks
+          // doc-ids-only decode: a wide expansion (e.g. [a TO z]) touches much
+          // of the vocabulary — skipping freq/norm decode cuts the scan ~3x
+          .mapPartitions(it => it.flatMap(b => PostingsCodec.decodeDocIds(b).iterator))
+          .toDF("docId")
+          .distinct()
+          .withColumn("score", lit(boost))
+    }
+
+  /** Top-k of a constant-score expansion = the k smallest matching doc ids
+    * (score ties break docId asc). Metadata-pruned: the k smallest DISTINCT
+    * `firstDoc` values f₁<…<f_k of the matching blocks are themselves real
+    * matching doc ids, so the k-th result doc ≤ f_k =: T, and every result
+    * doc lives in a block with `firstDoc ≤ T` — only those blocks are
+    * decoded. A wide range query on a sorted corpus decodes a handful of
+    * blocks instead of much of the vocabulary (the r1 p95 tail). */
+  private def expansionTopK(termPred: org.apache.spark.sql.Column, boost: Double,
+                            k: Int, dictFirst: Boolean): DataFrame =
+    expansionBlocks(termPred, dictFirst) match {
+      case None => emptyFrame
+      case Some(blocks) =>
+        val firsts = blocks.select(col("firstDoc")).distinct()
+          .orderBy(asc("firstDoc")).limit(k).as[Long].collect()
+        val full = () => blocks
+          .mapPartitions(it => it.flatMap(b => PostingsCodec.decodeDocIds(b).iterator))
+          .toDF("docId").distinct()
+          .orderBy(asc("docId")).limit(k)
+          .withColumn("score", lit(boost))
+        if (firsts.length < k) full()
+        else {
+          val t = firsts.last
+          blocks.filter(col("firstDoc") <= lit(t))
+            .mapPartitions(it => it.flatMap(b => PostingsCodec.decodeDocIds(b).iterator))
+            .filter(col("value") <= lit(t))
+            .toDF("docId").distinct()
+            .orderBy(asc("docId")).limit(k)
+            .withColumn("score", lit(boost))
+        }
+    }
+
+  /** The term-dictionary predicate of a multi-term (expansion) query. */
+  private def expansionPred(q: Query): org.apache.spark.sql.Column = q match {
+    case PrefixQuery(p) => col("term").startsWith(p)
+    case TermRangeQuery(lo, hi, il, ih) =>
+      val lower = lo.map(v => if (il) col("term") >= v else col("term") > v)
+      val upper = hi.map(v => if (ih) col("term") <= v else col("term") < v)
+      (lower.toSeq ++ upper.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+    case TermInSetQuery(ts) => col("term").isin(ts.toSeq: _*)
+    case FuzzyQuery(t, maxEdits) => levenshtein(col("term"), lit(t)) <= maxEdits
+    case RegexpQuery(p) => col("term").rlike("^(?:" + p + ")$")
+    case other => throw new IllegalArgumentException(s"not an expansion query: $other")
+  }
 
   // ----------------------------------------------------------- composition
 
@@ -607,16 +746,11 @@ final class Searcher(
       }
     case DocIdRangeQuery(inner, lo, hi) =>
       compile(inner, stats, boost).filter(col("docId").between(lo, hi))
-    case PrefixQuery(p) => expansionFrame(col("term").startsWith(p), boost)
-    case TermRangeQuery(lo, hi, il, ih) =>
-      val lower = lo.map(v => if (il) col("term") >= v else col("term") > v)
-      val upper = hi.map(v => if (ih) col("term") <= v else col("term") < v)
-      val pred = (lower.toSeq ++ upper.toSeq).reduceOption(_ && _).getOrElse(lit(true))
-      expansionFrame(pred, boost)
-    case TermInSetQuery(ts) => expansionFrame(col("term").isin(ts.toSeq: _*), boost)
-    case FuzzyQuery(t, maxEdits) =>
-      expansionFrame(levenshtein(col("term"), lit(t)) <= maxEdits, boost)
-    case RegexpQuery(p) => expansionFrame(col("term").rlike("^(?:" + p + ")$"), boost)
+    case q: PrefixQuery => expansionFrame(expansionPred(q), boost)
+    case q: TermRangeQuery => expansionFrame(expansionPred(q), boost)
+    case q: TermInSetQuery => expansionFrame(expansionPred(q), boost)
+    case q: FuzzyQuery => expansionFrame(expansionPred(q), boost, dictFirst = true)
+    case q: RegexpQuery => expansionFrame(expansionPred(q), boost, dictFirst = true)
     case w: WildcardQuery => compile(QueryRewriter.rewrite(w), stats, boost)
     case BoostQuery(inner, b) => compile(inner, stats, boost * b)
     case ConstantScoreQuery(inner) =>
@@ -679,6 +813,13 @@ final class Searcher(
   def search(q: Query, k: Int): DataFrame = {
     val rewritten = QueryRewriter.rewrite(q)
     rewritten match {
+      // constant-score expansions: top-k = k smallest doc ids, block-metadata
+      // pruned (see expansionTopK) — the r1 p95 tail was wide prefix/range
+      // expansions decoding much of the vocabulary for 10 rows
+      case e @ (_: PrefixQuery | _: TermRangeQuery | _: TermInSetQuery) =>
+        expansionTopK(expansionPred(e), 1.0, k, dictFirst = false)
+      case e @ (_: FuzzyQuery | _: RegexpQuery) =>
+        expansionTopK(expansionPred(e), 1.0, k, dictFirst = true)
       case TermQuery(t) =>
         val stats = lookupStats(Set(t))
         stats.get(t) match {

@@ -88,6 +88,13 @@ object Monitor {
         !nots.exists(matches(_, doc)) &&
         should.count(matches(_, doc)) >= neededShould &&
         (must.nonEmpty || filter.nonEmpty || should.nonEmpty)
+    case _: DocIdRangeQuery =>
+      // a DocView has no doc id — fail the registration, not the micro-batch
+      throw new UnsupportedOperationException(
+        "DocIdRangeQuery cannot be percolated: per-document matching has no doc id")
+    case other =>
+      throw new UnsupportedOperationException(
+        s"monitor does not support query type ${other.getClass.getSimpleName}")
   }
 
   private def levenshtein(a: String, b: String): Int = {

@@ -15,9 +15,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *  - global term/collection statistics are refreshed after each batch, so a
   *    reader that re-opens the index (`InvertedIndex.open`) sees a consistent
   *    point-in-time view — the `maybeRefresh` analog;
-  *  - the streaming checkpoint gives exactly-once batch replay: a replayed
-  *    batch rewrites the same segment namespace deterministically, mirroring
-  *    the two-phase commit of `IndexWriter.commit`
+  *  - foreachBatch is at-least-once, so replay safety comes from the SINK:
+  *    each batch writes into its own `batchNs` partition with dynamic
+  *    partition overwrite ([[graft.index.IndexBuilder.appendBatch]]), so a
+  *    replayed batch REPLACES its earlier partial write instead of appending
+  *    duplicates — effectively-once, mirroring the two-phase commit of
+  *    `IndexWriter.commit`
   *    (`lucene/core/src/java/org/apache/lucene/index/IndexWriter.java:3582,4063`);
   *  - periodic compaction of the accumulated small segments is
   *    [[graft.index.SegmentMerger]], the `TieredMergePolicy` analog — run it

@@ -15,13 +15,14 @@ object LatencyProbe {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.parquet.columnarReaderBatchSize", 256) // see InvertedIndex.open
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val p = PageGen.Params()
     val dir = java.nio.file.Files.createTempDirectory("graft-lat-").toString
-    val idx = WebIndex.build(PageGen.synthesize(spark, nDocs, 32, p), dir,
-      IndexConfig(SimpleAnalyzer, withPositions = true), numPartitions = 32)
+    val idx = WebIndex.buildGenerated(spark, nDocs, 32, p, dir,
+      IndexConfig(SimpleAnalyzer, withPositions = true))
     val (midx, _) = SegmentMerger.merge(idx, s"$dir-merged", computeMetrics = false)
     midx.warm()
     val searcher = new Searcher(midx, ScoringMode.PreciseBM25())
@@ -47,6 +48,16 @@ object LatencyProbe {
       println(f"SHAPE $s%-28s n=${xs.size}%2d max=${xs.map(_._2).max}%7.0f p50=${xs.map(_._2).sorted.apply(xs.size / 2)}%7.0f ms")
     }
     spark.stop()
-    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    rmTree(s"$dir-merged")
+    rmTree(dir)
+  }
+
+  private def rmTree(path: String): Unit = {
+    import java.nio.file._
+    val root = Paths.get(path)
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 }

@@ -84,8 +84,33 @@ object PageGen {
     lo
   }
 
+  /** Page `i`'s url — computable without generating the page body, which is
+    * what lets doc-id assignment shuffle (url, ordinal) pairs instead of full
+    * page payloads (late materialization; see WebIndex.buildGenerated). */
+  def urlOf(i: Long, p: Params): String = s"https://site${i % p.nHosts}.example/p/$i"
+
+  /** Page `i`'s language — an independent deterministic stream so metadata is
+    * derivable without generating the page body. */
+  def langOf(i: Long, p: Params): String = {
+    val rnd = new java.util.Random(p.seed * 7654321L + i * 31L + 17L)
+    if (rnd.nextDouble() < 0.95) "en" else Seq("de", "fr", "es")(rnd.nextInt(3))
+  }
+
+  def tsOf(i: Long): java.sql.Timestamp = new java.sql.Timestamp(1600000000000L + i * 1000L)
+
   /** Generate page `i` purely from `(p.seed, i)`. */
   def page(i: Long, p: Params, cdf: Array[Double]): Page = {
+    val text = textOf(i, p, cdf)
+    // title lives in an attribute so tag-stripping yields exactly `text`
+    // (HtmlStrip keeps element text content; <title>x</title> would leak "x")
+    val html = (s"""<html><head><meta name="title" content="page $i"/>""" +
+      "<!-- warc synthetic --></head><body><p>" +
+      text + "</p></body></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Page(urlOf(i, p), tsOf(i), html, text, langOf(i, p))
+  }
+
+  /** Page `i`'s text only — skips the html payload (index-build input path). */
+  def textOf(i: Long, p: Params, cdf: Array[Double]): String = {
     val rnd = new java.util.Random(p.seed * 1000003L + i)
     val len = math.min(p.maxLen,
       math.max(1, math.round(math.exp(math.log(p.meanLen.toDouble) - p.sigma * p.sigma / 2
@@ -106,16 +131,7 @@ object PageGen {
       sb.append(word(sampleZipf(cdf, rnd.nextDouble())))
       t += 1
     }
-    val text = sb.toString
-    val host = i % p.nHosts
-    val url = s"https://site$host.example/p/$i"
-    // title lives in an attribute so tag-stripping yields exactly `text`
-    // (HtmlStrip keeps element text content; <title>x</title> would leak "x")
-    val html = (s"""<html><head><meta name="title" content="page $i"/>""" +
-      "<!-- warc synthetic --></head><body><p>" +
-      text + "</p></body></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val lang = if (rnd.nextDouble() < 0.95) "en" else Seq("de", "fr", "es")(rnd.nextInt(3))
-    Page(url, new java.sql.Timestamp(1600000000000L + i * 1000L), html, text, lang)
+    sb.toString
   }
 
   /** Distributed deterministic corpus: `spark.range` → pure per-row map. */

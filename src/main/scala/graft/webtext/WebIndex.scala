@@ -46,6 +46,17 @@ object WebIndex {
     *
     * Returns `(docId, url, text, warc_ts, lang)`.
     */
+  private def partitionOffsets(counts: Array[(Int, Long)]): Map[Int, Long] = {
+    val byPid = counts.toMap
+    val maxPid = if (counts.isEmpty) -1 else counts.map(_._1).max
+    var acc = 0L
+    (0 to maxPid).map { pid =>
+      val o = pid -> acc
+      acc += byPid.getOrElse(pid, 0L)
+      o
+    }.toMap
+  }
+
   def assignDocIds(pages: Dataset[Page], numPartitions: Int): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
@@ -58,16 +69,7 @@ object WebIndex {
     val counts: Array[(Int, Long)] = sorted.mapPartitions { it =>
       Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
     }.collect()
-    val offsets: Map[Int, Long] = {
-      val byPid = counts.toMap
-      val maxPid = if (counts.isEmpty) -1 else counts.map(_._1).max
-      var acc = 0L
-      (0 to maxPid).map { pid =>
-        val o = pid -> acc
-        acc += byPid.getOrElse(pid, 0L)
-        o
-      }.toMap
-    }
+    val offsets: Map[Int, Long] = partitionOffsets(counts)
     val bc = spark.sparkContext.broadcast(offsets)
     sorted.mapPartitions { it =>
       var next = bc.value(TaskContext.getPartitionId())
@@ -100,6 +102,49 @@ object WebIndex {
     val input = withIds.select($"docId", $"text").as[InputDoc]
     val idx = IndexBuilder.build(input, dir, config, resume)
     withIds.unpersist()
+    idx
+  }
+
+  /** Index build over the synthetic generator corpus with LATE
+    * MATERIALIZATION: doc-id assignment shuffles only `(url, ordinal)` —
+    * ~50 bytes/row instead of multi-KB page payloads — and each page's text
+    * is generated exactly once, on the reduce side where its doc id lives.
+    * On a real table the same shape is "range-shuffle the sort key + a row
+    * pointer, fetch payloads after placement" (the classic late-materialized
+    * sort); here the generator ordinal IS the row pointer. Compared to
+    * synthesize→[[build]] this removes the full-payload range shuffle, the
+    * full-corpus cache, and the double generation (range-partitioner sampling
+    * + shuffle), yielding the identical index.
+    */
+  def buildGenerated(spark: SparkSession, nDocs: Long, numPartitions: Int,
+                     p: PageGen.Params, dir: String,
+                     config: IndexConfig = IndexConfig()): InvertedIndex = {
+    import spark.implicits._
+    val sorted = spark.range(0, nDocs, 1, numPartitions)
+      .map(i => (PageGen.urlOf(i, p), i))
+      .toDF("url", "ord")
+      .repartitionByRange(numPartitions, $"url")
+      .sortWithinPartitions($"url")
+      .as[(String, Long)]
+      .cache()
+    val counts: Array[(Int, Long)] = sorted.mapPartitions { it =>
+      Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+    }.collect()
+    val bc = spark.sparkContext.broadcast(partitionOffsets(counts))
+    val withIds = sorted.mapPartitions { it =>
+      var next = bc.value(TaskContext.getPartitionId())
+      it.map { case (url, ord) => val id = next; next += 1; (id, url, ord) }
+    }.toDF("docId", "url", "ord").as[(Long, String, Long)]
+    withIds.map { case (id, url, ord) =>
+      (id, url, PageGen.tsOf(ord), PageGen.langOf(ord, p))
+    }.toDF("docId", "url", "warc_ts", "lang")
+      .write.mode("overwrite").parquet(s"$dir/urlmap")
+    val cdfBc = spark.sparkContext.broadcast(PageGen.zipfCdf(p))
+    val input = withIds.map { case (id, _, ord) =>
+      InputDoc(id, PageGen.textOf(ord, p, cdfBc.value))
+    }
+    val idx = IndexBuilder.build(input, dir, config)
+    sorted.unpersist()
     idx
   }
 

@@ -71,7 +71,9 @@ class PostingsCodecSpec extends AnyFunSuite {
         val d = PostingsCodec.decodeBlock(b)
         d.docs.indices.map(i => (d.docs(i), d.freqs(i), d.doclens(i)))
       }
-      assert(decoded == docs.indices.map(i => (docs(i), freqs(i), doclens(i))).toVector)
+      // doc lengths come back byte-quantized, exactly like the reference's norms
+      assert(decoded == docs.indices.map(i =>
+        (docs(i), freqs(i), SmallFloat.byte4ToInt(SmallFloat.intToByte4(doclens(i))))).toVector)
     }
   }
 

@@ -43,7 +43,8 @@ object SparkTestEnv {
       val freq = toks.count(_.term == term)
       if (freq == 0) None
       else {
-        val dl = toks.size
+        // the engine scores against the byte-quantized length (one-byte norm)
+        val dl = SmallFloat.byte4ToInt(SmallFloat.intToByte4(toks.size))
         Some(doc -> idf * (freq / (freq + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))))
       }
     }
@@ -177,7 +178,8 @@ class SearcherSpec extends AnyFunSuite {
       val pos = toks.filter(_.term == "batch").map(_.position).toSet
       val freq = pos.count(p => pos.contains(p + 1))
       if (freq == 0) None
-      else Some(doc -> idfSum * (freq / (freq + 1.2 * (1 - 0.75 + 0.75 * toks.size / avgdl))))
+      else Some(doc -> idfSum * (freq / (freq + 1.2 * (1 - 0.75 +
+        0.75 * SmallFloat.byte4ToInt(SmallFloat.intToByte4(toks.size)) / avgdl))))
     }
     assert(got.keySet == want.keySet)
     got.foreach { case (d, s) => assert(math.abs(s - want(d)) < 1e-12) }

@@ -118,8 +118,12 @@ class WebtextSpec extends AnyFunSuite with BeforeAndAfterAll {
   * `lucene/core/src/test/org/apache/lucene/search/TestBoolean2.java`). */
 final class ExhaustiveOracle(docs: Array[(Long, IndexedSeq[Token])]) {
   private val n = docs.length.toLong
-  private val dl: Map[Long, Int] = docs.map { case (id, ts) => id -> ts.length }.toMap
-  private val avgdl = dl.values.map(_.toLong).sum / n.toDouble
+  // scoring reads the byte-quantized length (the engine's one-byte norm);
+  // avgdl stays exact (collection stats are exact sums)
+  private val dl: Map[Long, Int] = docs.map { case (id, ts) =>
+    id -> SmallFloat.byte4ToInt(SmallFloat.intToByte4(ts.length))
+  }.toMap
+  private val avgdl = docs.map(_._2.length.toLong).sum / n.toDouble
   private val tf: Map[String, Map[Long, Int]] = docs
     .flatMap { case (id, ts) => ts.map(t => (t.term, id)) }
     .groupBy(_._1).map { case (t, xs) =>
