@@ -14,7 +14,10 @@ object Indexes {
     cache.getOrElseUpdate(sfDir, {
       import spark.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft-index-").toString
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      // a small corpus is one parquet file = one scan partition; spread the
+      // tokenize-heavy build over the cluster (no-op at real input scale)
+      val docs = graft.pipeline.TextOps.parallelized(
+          spark.read.parquet(s"$sfDir/documents.parquet"))
         .select(col("doc_id").as("docId"), col("text"))
         .as[InputDoc]
       IndexBuilder.build(docs, dir, IndexConfig(SimpleAnalyzer, withPositions = true))
@@ -30,7 +33,8 @@ object Indexes {
     cache.getOrElseUpdate(sfDir + "#title", {
       import spark.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft-index-title-").toString
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = graft.pipeline.TextOps.parallelized(
+          spark.read.parquet(s"$sfDir/documents.parquet"))
         .select(col("doc_id").as("docId"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
@@ -274,6 +278,14 @@ object SparkEntry {
       // sorted-index range query: posting blocks skipped on doc-id metadata
       topk(Indexes.searcher(s, dir).scored(
         DocIdRangeQuery(TermQuery("dup"), 100L, 300L)), 10)
+    }),
+    "q54_sloppy_phrase" -> ((s, dir) => {
+      // reference sloppy-freq semantics (SloppyPhraseMatcher greedy
+      // enumeration, freq = Σ 1/(1+matchLength)); the oracle replays the same
+      // enumeration via its 2-term closed form (alternating next-greater
+      // ladder) as a recursive CTE
+      topk(Indexes.searcher(s, dir).scored(
+        PhraseQuery(Seq("vector", "stream"), slop = 2)), 10)
     })
   ) ++ graft.pipeline.PipelineQueries.queries
 
@@ -677,6 +689,48 @@ object SparkEntry {
 
     "q53_docid_range" -> topkSql(
       s"""SELECT doc_id, score FROM (${termScoreSql("dup")}) s
-         |WHERE doc_id BETWEEN 100 AND 300""".stripMargin, 10)
+         |WHERE doc_id BETWEEN 100 AND 300""".stripMargin, 10),
+
+    // Sloppy phrase "vector stream"~2 — the reference's greedy minimal-width
+    // enumeration (SloppyPhraseMatcher) reduced, for two distinct terms, to
+    // its closed form: an alternating "smallest strictly-greater element of
+    // the other adjusted list" ladder starting at max(min A', min B'), each
+    // target t emitting 1/(1+t−pred_other(t)) when within slop. Validated
+    // against a direct transliteration of the reference loop on this corpus.
+    "q54_sloppy_phrase" ->
+      s"""${CTE.replace("WITH raw AS", "WITH RECURSIVE raw AS")}, ap AS (
+         |  SELECT doc_id, pos AS p FROM toks WHERE term = 'vector'
+         |), bp AS (
+         |  SELECT doc_id, pos - 1 AS p FROM toks WHERE term = 'stream'
+         |), amin AS (SELECT doc_id, min(p) AS ma FROM ap GROUP BY doc_id),
+         |bmin AS (SELECT doc_id, min(p) AS mb FROM bp GROUP BY doc_id),
+         |ladder(doc_id, t, side) AS (
+         |  SELECT a.doc_id, greatest(a.ma, b.mb),
+         |         CASE WHEN a.ma > b.mb THEN 'A' ELSE 'B' END
+         |  FROM amin a JOIN bmin b USING (doc_id)
+         |  UNION ALL
+         |  SELECT l.doc_id,
+         |         CASE WHEN l.side = 'A' THEN (SELECT min(p) FROM bp WHERE bp.doc_id = l.doc_id AND bp.p > l.t)
+         |              ELSE (SELECT min(p) FROM ap WHERE ap.doc_id = l.doc_id AND ap.p > l.t) END,
+         |         CASE WHEN l.side = 'A' THEN 'B' ELSE 'A' END
+         |  FROM ladder l
+         |  WHERE (CASE WHEN l.side = 'A' THEN (SELECT min(p) FROM bp WHERE bp.doc_id = l.doc_id AND bp.p > l.t)
+         |              ELSE (SELECT min(p) FROM ap WHERE ap.doc_id = l.doc_id AND ap.p > l.t) END) IS NOT NULL
+         |), dists AS (
+         |  SELECT doc_id,
+         |    t - (CASE WHEN side = 'A' THEN (SELECT max(p) FROM bp WHERE bp.doc_id = ladder.doc_id AND bp.p <= ladder.t)
+         |              ELSE (SELECT max(p) FROM ap WHERE ap.doc_id = ladder.doc_id AND ap.p <= ladder.t) END) AS dist
+         |  FROM ladder
+         |), pf AS (
+         |  SELECT doc_id, sum(1.0/(1+dist))::DOUBLE AS freq FROM dists WHERE dist <= 2 GROUP BY doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT pf.doc_id,
+         |    (${idfSql("(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'vector'))")}
+         |     + ${idfSql("(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'stream'))")})
+         |    * ${tfNormSql("pf.freq", "dl.dlq")} AS score
+         |  FROM pf JOIN dl ON pf.doc_id = dl.doc_id
+         |  WHERE pf.freq > 0
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
   ) ++ graft.pipeline.PipelineQueries.oracleSql
 }

@@ -29,6 +29,9 @@ final case class StageRow(
     df: Int,
     ttf: Long,
     blocks: Seq[PostingBlock],
+    /** blocks.size as a scalar so lineage/metrics aggregations never read the
+      * nested payload column */
+    nblocks: Int,
     // segment manifest fields (kind 2) — per-partition lineage + metrics
     partitionId: Int,
     numDocs: Long,
@@ -39,13 +42,13 @@ final case class StageRow(
 
 object StageRow {
   def doc(segmentId: Long, docId: Long, doclen: Int, dlb: Byte): StageRow =
-    StageRow(0, segmentId, docId, doclen, dlb, null, 0, 0, 0L, null, 0, 0L, 0L, 0L, 0L, 0)
+    StageRow(0, segmentId, docId, doclen, dlb, null, 0, 0, 0L, null, 0, 0, 0L, 0L, 0L, 0L, 0)
   def postings(segmentId: Long, term: String, blockGroup: Int, df: Int, ttf: Long,
                blocks: Seq[PostingBlock]): StageRow =
-    StageRow(1, segmentId, 0L, 0, 0, term, blockGroup, df, ttf, blocks, 0, 0L, 0L, 0L, 0L, 0)
+    StageRow(1, segmentId, 0L, 0, 0, term, blockGroup, df, ttf, blocks, blocks.size, 0, 0L, 0L, 0L, 0L, 0)
   def segment(segmentId: Long, partitionId: Int, numDocs: Long, sumDoclen: Long,
               numTerms: Long, postingsFlushed: Long, flushOrdinal: Int): StageRow =
-    StageRow(2, segmentId, 0L, 0, 0, null, 0, 0, 0L, null, partitionId, numDocs,
+    StageRow(2, segmentId, 0L, 0, 0, null, 0, 0, 0L, null, 0, partitionId, numDocs,
       sumDoclen, numTerms, postingsFlushed, flushOrdinal)
 }
 
@@ -165,6 +168,11 @@ object IndexBuilder {
       .option("compression", "zstd")
       .parquet(s"$dir/data")
   }
+
+  /** Diagnostic hook: a raw SegmentFlusher iterator (graft.tools.BuildProbe). */
+  private[graft] def flusherFor(cfg: IndexConfig, segNamespace: Long, pid: Int,
+                                docs: Iterator[InputDoc]): Iterator[StageRow] =
+    new SegmentFlusher(cfg, segNamespace, pid, docs)
 
   /** Recompute global term/collection statistics from the committed segment
     * data. The only shuffle of the build; partial (map-side) aggregation makes
@@ -407,7 +415,7 @@ final class InvertedIndex private (
 
   @transient lazy val postings: DataFrame =
     data.filter(col("kind") === 1)
-      .select("term", "segmentId", "blockGroup", "df", "ttf", "blocks")
+      .select("term", "segmentId", "blockGroup", "df", "ttf", "nblocks", "blocks")
 
   @transient lazy val docs: DataFrame = parent match {
     case Some(p) => p.docs

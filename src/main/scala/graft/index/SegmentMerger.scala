@@ -94,7 +94,7 @@ object SegmentMerger {
     val postings = index.postings
     val rowsIn = if (computeMetrics) postings.count() else -1L
     val blocksIn =
-      if (computeMetrics) postings.select(sum(size(col("blocks")))).as[Long].head() else -1L
+      if (computeMetrics) postings.select(sum(col("nblocks"))).as[Long].head() else -1L
 
     // (1)+(2) skew pre-pass from the (tiny, pre-aggregated) term_stats table —
     // no postings scan. Reducer payload tracks df (postings per term), so the
@@ -194,14 +194,16 @@ object SegmentMerger {
         lit(mergeRound).as("mergeRound"),
         (col("segmentId") - mergedSegBase).cast("int").as("partitionId"),
         count(lit(1)).as("rowsOut"),
-        sum(size(col("blocks"))).as("blocksOut"),
+        // nblocks is a scalar column: this lineage aggregation column-prunes
+        // to integers and never re-reads the merged postings payload
+        sum(col("nblocks")).as("blocksOut"),
         sum(col("df")).as("postings"))
       .drop("segmentId")
       .write.mode("append").parquet(s"$targetDir/merge_manifest")
 
     val rowsOut = if (computeMetrics) out.postings.count() else -1L
     val blocksOut =
-      if (computeMetrics) out.postings.select(sum(size(col("blocks")))).as[Long].head() else -1L
+      if (computeMetrics) out.postings.select(sum(col("nblocks"))).as[Long].head() else -1L
     (out, MergeMetrics(mergeRound, rowsIn, rowsOut, blocksIn, blocksOut, headTerms.size))
   }
 }

@@ -62,6 +62,68 @@ object Ann {
       .filter(col("cos") >= tau)
   }
 
+  /** All pairs with cosine ≥ `tau`, EXACT, executed as a tiled self-join —
+    * the classic blocked matrix-product decomposition:
+    *
+    *  - vectors are L2-normalized once (linear pass), hashed into
+    *    `⌈n/blockSize⌉` tiles, and each tile is packed into one row;
+    *  - the `T(T+1)/2` tile pairs are generated as a real (tiny) frame and
+    *    EQUI-joined to the tile data twice — no BroadcastNestedLoopJoin, no
+    *    per-pair row materialization;
+    *  - each task computes one tile-pair's dot products over primitive
+    *    arrays (a tight O(blockSize² · dim) loop) and emits only survivors.
+    *
+    * The O(n²·d) flops are inherent to an exact all-pairs answer; this shape
+    * distributes them evenly (no skew — tiles are hash-balanced), bounds task
+    * memory at 2·blockSize·d doubles, and its shuffle volume is
+    * n·d·⌈n/blockSize⌉ — the standard communication cost of 2-D tiling. For
+    * recall-tolerant scale use [[lshBuckets]] / [[lshTopK]] instead. */
+  def cosinePairsBlocked(embeddings: DataFrame, idCol: String, vecCol: String,
+                         tau: Double, blockSize: Int = 256): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val n = embeddings.count()
+    val nTiles = math.max(1, ((n + blockSize - 1) / blockSize).toInt)
+    // keep raw doubles + precomputed norms so the per-pair arithmetic is
+    // dot/(|a|·|b|) in exactly the oracle's operation order
+    val prepared = embeddings
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"), norm(col(vecCol)).as("nv"))
+    val tiles = prepared
+      .withColumn("tile", pmod(hash(col("id")), lit(nTiles)).cast("long"))
+      .groupBy("tile")
+      .agg(collect_list(struct(col("id").as("_1"), col("v").as("_2"), col("nv").as("_3"))).as("vecs"))
+    val tilePairs = spark.range(nTiles).as[Long]
+      .flatMap(i => (i until nTiles.toLong).map(j => (i, j))).toDF("t1", "t2")
+    tilePairs
+      .join(tiles.toDF("t1", "vecs1"), "t1")
+      .join(tiles.toDF("t2", "vecs2"), "t2")
+      .select(col("t1"), col("t2"), col("vecs1"), col("vecs2"))
+      .as[(Long, Long, Seq[(Long, Seq[Double], Double)], Seq[(Long, Seq[Double], Double)])]
+      .flatMap { case (t1, t2, vs1, vs2) =>
+        val a1 = vs1.iterator.map { case (id, v, nv) => (id, v.toArray, nv) }.toArray
+        val a2 = if (t1 == t2) a1 else vs2.iterator.map { case (id, v, nv) => (id, v.toArray, nv) }.toArray
+        val out = Vector.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < a1.length) {
+          val (id1, v1, n1) = a1(i)
+          var j = if (t1 == t2) i + 1 else 0
+          while (j < a2.length) {
+            val (id2, v2, n2) = a2(j)
+            var s = 0.0
+            var d = 0
+            val dim = v1.length
+            while (d < dim) { s += v1(d) * v2(d); d += 1 }
+            val cos = s / (n1 * n2)
+            if (cos >= tau) out += (if (id1 < id2) (id1, id2, cos) else (id2, id1, cos))
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }.toDF("a", "b", "cos")
+  }
+
   /** Deterministic Rademacher (±1) hyperplane component for (plane, dim):
     * one md5 bit — reproducible anywhere. */
   private def planeSign(plane: Int, dim: Column): Column =

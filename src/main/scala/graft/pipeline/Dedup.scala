@@ -36,16 +36,29 @@ object Dedup {
       .withColumn("group_size", count(lit(1)).over(w))
   }
 
-  /** Per-doc MinHash signature over word `n`-gram shingles: `numHashes`
-    * permutations h_i(s) = h60(i || ':' || s), signature(i) = min over
-    * shingles. One aggregation, no explode-by-permutation. */
-  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, numHashes: Int = 16): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("doc"), explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sg"))
+  /** Distinct `(doc, shingle)` table — the shared input of the signature,
+    * candidate, and verify stages. Callers that run more than one stage
+    * should compute it ONCE and persist it (see [[minhashLshPairs]]): the
+    * tokenize+shingle explode is the dominant map-side cost and was being
+    * recomputed per stage in r1. */
+  def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    TextOps.parallelized(df).select(col(idCol).as("doc"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sg"))
       .distinct()
-    val mins = (0 until numHashes).map(i =>
-      min(TextOps.h60(concat(lit(i.toString), lit(":"), col("sg")))).as(s"h$i"))
+
+  /** Per-doc MinHash signature over word `n`-gram shingles: `numHashes`
+    * seeded hashes h_i(s) = xxhash64(i, s), signature(i) = min over shingles.
+    * One aggregation, no explode-by-permutation. xxhash64 (native, codegen'd)
+    * is deliberately NOT the oracle-reproducible md5: signatures only drive
+    * candidate RECALL — the verify stage re-checks exact Jaccard, which is
+    * what the DuckDB oracle compares. */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, numHashes: Int = 16): DataFrame =
+    minhashSignaturesFrom(shingleTable(df, textCol, idCol, n), numHashes)
+
+  /** [[minhashSignatures]] over a precomputed [[shingleTable]]. */
+  def minhashSignaturesFrom(sh: DataFrame, numHashes: Int = 16): DataFrame = {
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sg"))).as(s"h$i"))
     sh.groupBy("doc").agg(mins.head, mins.tail: _*)
       .select(col("doc"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -72,10 +85,11 @@ object Dedup {
   /** Exact word-shingle Jaccard for the given candidate pairs `(a, b)`:
     * joins back to distinct shingle sets, proportional to candidates. */
   def verifyJaccard(df: DataFrame, textCol: String, idCol: String,
-                    candidates: DataFrame, n: Int = 3): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("doc"), explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sg"))
-      .distinct()
+                    candidates: DataFrame, n: Int = 3): DataFrame =
+    verifyJaccardFrom(shingleTable(df, textCol, idCol, n), candidates)
+
+  /** [[verifyJaccard]] over a precomputed [[shingleTable]]. */
+  def verifyJaccardFrom(sh: DataFrame, candidates: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("nsh"))
     val inter = candidates
       .join(sh.toDF("doc_a", "sg"), col("a") === col("doc_a"))
@@ -88,18 +102,59 @@ object Dedup {
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
-  /** MinHash+LSH near-duplicate pairs with exact-verified Jaccard ≥ `tau`. */
+  /** MinHash+LSH near-duplicate pairs with exact-verified Jaccard ≥ `tau`.
+    * The shingle table is computed once and persisted across the signature
+    * and verify stages (it backs both plans — without the persist the
+    * explode+distinct runs twice, the r1 q17/q19 hotspot). */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       tau: Double, n: Int = 3, numHashes: Int = 16,
                       bands: Int = 8): DataFrame = {
-    val sigs = minhashSignatures(df, textCol, idCol, n, numHashes)
+    val sh = shingleTable(df, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignaturesFrom(sh, numHashes)
     val cands = lshCandidates(sigs, bands)
-    verifyJaccard(df, textCol, idCol, cands, n).filter(col("jaccard") >= tau)
+    verifyJaccardFrom(sh, cands).filter(col("jaccard") >= tau)
+  }
+
+  /** EXACT n-gram Jaccard ≥ `tau` pairs via prefix filtering — the
+    * set-similarity-join algorithm of SSJoin / All-Pairs (Chaudhuri et al.
+    * ICDE'06; Bayardo et al. WWW'07), no probability anywhere:
+    *
+    * Order every doc's shingles by GLOBAL document frequency ascending (one
+    * canonical total order). If J(A,B) ≥ τ then |A∩B| ≥ τ·max(|A|,|B|), and
+    * by the prefix-filter lemma the first `|X| − ⌈τ|X|⌉ + 1` shingles of A
+    * and of B (in that shared order) must intersect. So the candidate join
+    * explodes only each doc's ~(1−τ) RAREST shingles — at τ=0.8 one fifth of
+    * the shingle table, keyed by rare (small-bucket) shingles, which is what
+    * kills both the candidate explosion of aggressive LSH banding and the
+    * Σdf² blowup of the naive inverted join. Exact Jaccard verify follows,
+    * proportional to candidates. Deterministic full recall, unlike any
+    * banding scheme. */
+  def jaccardPrefixPairs(df: DataFrame, textCol: String, idCol: String,
+                         tau: Double, n: Int = 3): DataFrame = {
+    val sh = shingleTable(df, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sgdf = sh.groupBy("sg").agg(count(lit(1)).as("sgdf"))
+    val ranked = sh.join(sgdf, "sg")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc").orderBy(col("sgdf"), col("sg"))))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("nsh"))
+    val prefix = ranked.join(sizes, "doc")
+      .filter(col("rank") <= col("nsh") - ceil(lit(tau) * col("nsh")) + 1)
+      .select("doc", "sg")
+      // both sides of the candidate self-join read this — persist, or the
+      // window + join subtree executes twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = prefix.toDF("a", "sg").join(prefix.toDF("b", "sg2"),
+        col("sg") === col("sg2") && col("a") < col("b"))
+      .select("a", "b").distinct()
+    verifyJaccardFrom(sh, cands).filter(col("jaccard") >= tau)
   }
 
   /** Exact all-pairs word-shingle Jaccard ≥ `tau` via an inverted shingle
     * join (no LSH): the small-scale/oracle path. Cost is Σ_sg df(sg)² — use
-    * [[minhashLshPairs]] beyond ~10^6 docs. */
+    * [[jaccardPrefixPairs]] (exact) or [[minhashLshPairs]] (approximate)
+    * beyond ~10^6 docs. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         tau: Double, n: Int = 3): DataFrame = {
     val sh = df
@@ -123,7 +178,7 @@ object Dedup {
     * both map-side combinable. */
   def simhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         bits: Int = 60): DataFrame = {
-    val tf = df
+    val tf = TextOps.parallelized(df)
       .select(col(idCol).as("doc"), explode(TextOps.tokens(col(textCol))).as("t"))
       .groupBy("doc", "t").agg(count(lit(1)).as("tf"))
       .withColumn("h", TextOps.h60(col("t")))

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   private def documents(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    TextOps.parallelized(s.read.parquet(s"$dir/documents.parquet"))
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -42,11 +42,10 @@ object PipelineQueries {
         .orderBy("a", "b")
     }),
     "q19_dedup_ngram" -> ((s, dir) => {
-      // LSH-bucketed scale path with 1-row bands: P(miss | j ≥ 0.8) ≤
-      // (1-0.8)^16 ≈ 7e-12, so it reproduces the exact all-pairs oracle;
-      // Dedup.ngramJaccardPairs is the exact small-scale variant.
-      Dedup.minhashLshPairs(documents(s, dir), "text", "doc_id", tau = 0.8,
-          numHashes = 16, bands = 16)
+      // exact prefix-filtered set-similarity join (SSJoin/All-Pairs):
+      // deterministic full recall at any τ — unlike banding, which at τ=0.8
+      // either risks misses or (1-row bands) explodes candidates
+      Dedup.jaccardPrefixPairs(documents(s, dir), "text", "doc_id", tau = 0.8)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a", "b")
     }),
@@ -55,7 +54,11 @@ object PipelineQueries {
         .select(col("vec_id"), round(col("cos"), 6).as("cos"))
     }),
     "q21_embed_neardup" -> ((s, dir) => {
-      Ann.cosinePairs(embeddings(s, dir), "vec_id", "embedding", tau = 0.45)
+      // exact all-pairs, tiled: equi-joined tile pairs + primitive-array
+      // kernels — no BroadcastNestedLoopJoin (τ=0.45 sits ~0.06 above the
+      // background cosine distribution, far too loose for LSH recall; the
+      // exact tiled path is the only shape that reproduces the oracle)
+      Ann.cosinePairsBlocked(embeddings(s, dir), "vec_id", "embedding", tau = 0.45)
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
         .orderBy("a", "b")
     }),

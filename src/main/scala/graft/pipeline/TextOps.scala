@@ -11,6 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Spread a narrow input over the cluster before CPU-heavy per-row
+    * transforms (tokenize/shingle/hash): a small corpus arrives as one
+    * parquet file = ONE scan partition, serializing everything downstream on
+    * a single core. No-op when the input is already at least as parallel as
+    * the cluster (the at-scale case), so this never coalesces real inputs. */
+  def parallelized(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Tokens of `c` under the engine's SimpleAnalyzer contract: lowercase,
     * maximal `[a-z0-9]+` runs (see `graft.core.SimpleAnalyzer`). */
   def tokens(c: Column): Column =

@@ -159,8 +159,9 @@ final class Searcher(
   }
 
   /** Scorer for phrase hits: idf is the sum of the member terms' idfs
-    * (`BM25Similarity.idfExplain` over a term array). */
-  private def phraseScorer(stats: Seq[TermStats], boost: Double): (Int, Int) => Double = mode match {
+    * (`BM25Similarity.idfExplain` over a term array). freq is a Double —
+    * sloppy-phrase frequency is fractional (Σ 1/(1+matchLength)). */
+  private def phraseScorer(stats: Seq[TermStats], boost: Double): (Double, Int) => Double = mode match {
     case ScoringMode.PreciseBM25(k1, b) =>
       val idf = stats.map(s => idfPrecise(s.docFreq)).sum * boost
       val avgdl = avgdlPrecise
@@ -173,23 +174,23 @@ final class Searcher(
       // rebuild a scorer with weight = boost * idfSum using the same cache math
       val cache = Array.tabulate(256)(i => 1f / (k1 * ((1 - b) + b * SmallFloat.LengthTable(i) / cs.avgFieldLength)))
       val weight = boost.toFloat * idfSum
-      (freq, dl) => {
+      (freq: Double, dl: Int) => {
         val inv = cache(SmallFloat.intToByte4(dl) & 0xFF)
         (weight - weight / (1f + freq.toFloat * inv)).toDouble
       }
     case ScoringMode.Classic() =>
       val sim = ClassicSimilarity()
       val idfSum = stats.map(s => sim.idf(s.docFreq, cs.docCount).toDouble).sum
-      (freq, dl) => {
+      (freq: Double, dl: Int) => {
         val weight = (boost * idfSum * idfSum).toFloat
         val dlq = SmallFloat.LengthTable(SmallFloat.intToByte4(dl) & 0xFF)
         val norm = if (dlq == 0) 0f else (1.0 / math.sqrt(dlq.toDouble)).toFloat
-        (weight * math.sqrt(freq.toDouble).toFloat * norm).toDouble
+        (weight * math.sqrt(freq).toFloat * norm).toDouble
       }
     case ScoringMode.PreciseClassic() =>
       val idfSum = stats.map(s => math.log((cs.docCount + 1) / (s.docFreq + 1.0)) + 1.0).sum
       val weight = boost * idfSum * idfSum
-      (freq, dl) => weight * math.sqrt(freq.toDouble) / math.sqrt(dl.toDouble)
+      (freq: Double, dl: Int) => weight * math.sqrt(freq) / math.sqrt(dl.toDouble)
     case ScoringMode.PreciseLMDirichlet(_) =>
       throw new UnsupportedOperationException(
         "LM-Dirichlet phrase statistics are not defined in this engine; use a term query")
@@ -489,7 +490,7 @@ final class Searcher(
       }
       count
     })
-    val scoreUdf = udf((freq: Int, dl: Int) => scorer(freq, dl))
+    val scoreUdf = udf((freq: Int, dl: Int) => scorer(freq.toDouble, dl))
     perTerm.reduce(_ unionAll _)
       .groupBy("docId")
       .agg(first("doclen").as("doclen"),
@@ -497,6 +498,52 @@ final class Searcher(
         collect_list(struct(col("idx"), col("positions"))).as("plists"))
       .filter(col("nterms") === lit(n))
       .withColumn("freq", phraseFreqUdf(col("plists")))
+      .filter(col("freq") > 0)
+      .select(col("docId"), scoreUdf(col("freq"), col("doclen")).as("score"))
+  }
+
+  /** Sloppy phrase (`"a b"~slop`): same leapfrogged doc-level conjunction as
+    * the exact path, but per-doc frequency is the reference's fractional
+    * sloppy freq (Σ 1/(1+matchLength) over [[SloppyMatcher]]'s greedy
+    * minimal-width enumeration —
+    * `lucene/core/src/java/org/apache/lucene/search/SloppyPhraseMatcher.java:54`,
+    * `PhraseQuery.java:71-101`). Repeated query terms need the reference's
+    * repeat-group machinery and are rejected. */
+  private def sloppyPhraseFrame(terms: Seq[String], slop: Int,
+                                stats: Map[String, TermStats], boost: Double): DataFrame = {
+    if (terms.distinct.size != terms.size)
+      throw new UnsupportedOperationException(
+        "sloppy phrases with repeated terms are not supported (use slop=0)")
+    if (terms.exists(t => !stats.contains(t))) return emptyFrame
+    val scorer = phraseScorer(terms.map(stats), boost)
+    val lead = rarestDocSet(terms, stats)
+    val member = inLeadSet(lead)
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      leapfrogged(t, lead)
+        .mapPartitions { it =>
+          it.flatMap { b =>
+            val d = PostingsCodec.decodeBlock(b, withPositions = true)
+            Iterator.tabulate(d.docs.length)(j => PosHit(d.docs(j), d.doclens(j), d.positions(j)))
+              .filter(h => member(h.docId))
+          }
+        }
+        .toDF("docId", "doclen", "positions")
+        .withColumn("idx", lit(i))
+    }
+    val n = terms.size
+    val slop0 = slop
+    val sloppyFreqUdf = udf((plists: Seq[Row]) => {
+      val arrays = plists.sortBy(_.getInt(0)).map(_.getSeq[Int](1).toArray).toArray
+      SloppyMatcher.sloppyFreq(arrays, slop0)
+    })
+    val scoreUdf = udf((freq: Double, dl: Int) => scorer(freq, dl))
+    perTerm.reduce(_ unionAll _)
+      .groupBy("docId")
+      .agg(first("doclen").as("doclen"),
+        org.apache.spark.sql.functions.count(lit(1)).as("nterms"),
+        collect_list(struct(col("idx"), col("positions"))).as("plists"))
+      .filter(col("nterms") === lit(n))
+      .withColumn("freq", sloppyFreqUdf(col("plists")))
       .filter(col("freq") > 0)
       .select(col("docId"), scoreUdf(col("freq"), col("doclen")).as("score"))
   }
@@ -563,7 +610,7 @@ final class Searcher(
       }
       count
     })
-    val scoreUdf = udf((freq: Int, dl: Int) => scorer(freq, dl))
+    val scoreUdf = udf((freq: Int, dl: Int) => scorer(freq.toDouble, dl))
     perPos.reduce(_ unionAll _)
       .groupBy("docId")
       .agg(first("doclen").as("doclen"),
@@ -729,8 +776,8 @@ final class Searcher(
     case TermQuery(t) => termFrame(t, stats, boost)
     case SynonymQuery(ts) => synonymFrame(ts, stats, boost)
     case PhraseQuery(ts, slop) =>
-      require(slop == 0, "only exact phrases (slop=0) are supported")
-      phraseFrame(ts, stats, boost)
+      if (slop == 0) phraseFrame(ts, stats, boost)
+      else sloppyPhraseFrame(ts, slop, stats, boost)
     case MultiPhraseQuery(ps) => multiPhraseFrame(ps, stats, boost)
     case SpanNearQuery(ts, slop, inOrder) => spanNearFrame(ts, slop, inOrder, stats, boost)
     case DocIdRangeQuery(TermQuery(t), lo, hi) =>

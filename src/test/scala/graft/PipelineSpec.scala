@@ -21,6 +21,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed ${(exact -- lsh).size}, extra ${(lsh -- exact).size}")
   }
 
+  test("prefix-filtered jaccard join equals exact all-pairs at tau 0.8 and 0.9") {
+    Seq(0.8, 0.9).foreach { tau =>
+      val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val pf = Dedup.jaccardPrefixPairs(docs, "text", "doc_id", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(exact.nonEmpty)
+      assert(pf.keySet == exact.keySet, s"tau=$tau")
+      pf.foreach { case (k, j) => assert(math.abs(j - exact(k)) < 1e-12) }
+    }
+  }
+
   test("simhash banding has perfect recall for hamming <= 3 (pigeonhole)") {
     val sigs = Dedup.simhashSignatures(docs, "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -64,6 +76,18 @@ class PipelineSpec extends AnyFunSuite {
       val key = if (7L < id) (7L, id) else (id, 7L)
       assert(math.abs(exact(key) - c) < 1e-12)
     }
+  }
+
+  test("tiled exact pairs equal all-pairs cosine (same pairs, same doubles)") {
+    val allPairs = Ann.cosinePairs(embs, "vec_id", "embedding", tau = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // tiny blockSize forces many tiles + both the diagonal and off-diagonal
+    // kernel paths
+    val blocked = Ann.cosinePairsBlocked(embs, "vec_id", "embedding", tau = 0.45, blockSize = 37)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(allPairs.nonEmpty, "corpus should contain planted near-dup vectors")
+    assert(blocked.keySet == allPairs.keySet)
+    blocked.foreach { case (k, c) => assert(math.abs(c - allPairs(k)) < 1e-12) }
   }
 
   test("multimodal: decode/feature/frame plumbing over binary payloads") {
