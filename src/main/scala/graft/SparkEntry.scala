@@ -26,6 +26,23 @@ object Indexes {
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     new Searcher(documentsIndex(spark, sfDir), ScoringMode.PreciseBM25())
 
+  /** Documents indexed through the stop-filtered analysis chain
+    * ([[graft.core.SimpleStopAnalyzer]], English stop set): doc lengths
+    * exclude stopwords and positions keep the increments of removed tokens —
+    * phrases cannot match across a stopword, exactly the reference's
+    * StopFilter semantics. */
+  def stopIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#stop", {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-stop-").toString
+      val docs = graft.pipeline.TextOps.parallelized(
+          spark.read.parquet(s"$sfDir/documents.parquet"))
+        .select(col("doc_id").as("docId"), col("text"))
+        .as[InputDoc]
+      IndexBuilder.build(docs, dir,
+        IndexConfig(SimpleStopAnalyzer(Analyzers.EnglishStopWords), withPositions = true))
+    })
+
   /** A second indexed field — the first 5 tokens of `text` (a "title"
     * pseudo-field) — giving the multi-field operators (BM25F, blended term)
     * per-field statistics that differ from the body's. */
@@ -286,6 +303,17 @@ object SparkEntry {
       // ladder) as a recursive CTE
       topk(Indexes.searcher(s, dir).scored(
         PhraseQuery(Seq("vector", "stream"), slop = 2)), 10)
+    }),
+    "q55_stop_phrase" -> ((s, dir) => {
+      // stop-filtered index: doc lengths exclude stopwords, positions keep
+      // the removed tokens' increments — "data filter" must be adjacent in
+      // the PRE-filter position space (no match across a stopword)
+      topk(new Searcher(Indexes.stopIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(PhraseQuery(Seq("data", "filter"))), 10)
+    }),
+    "q56_lm_jelinek_mercer" -> ((s, dir) => {
+      topk(new Searcher(Indexes.documentsIndex(s, dir), ScoringMode.PreciseLMJelinekMercer())
+        .scored(TermQuery("spark")), 10)
     })
   ) ++ graft.pipeline.PipelineQueries.queries
 
@@ -296,6 +324,10 @@ object SparkEntry {
     * "largest representable value ≤ len" (intToByte4 floors the mantissa). */
   private val QuantValues: String =
     SmallFloat.LengthTable.map(v => s"($v)").mkString(",")
+
+  /** SQL literal list of the English stop set (q55's stop-filtered index). */
+  private val StopList: String =
+    Analyzers.EnglishStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
 
   /** Shared CTE prefix: tokenize `documents` exactly like [[SimpleAnalyzer]]
     * (lowercase, maximal `[a-z0-9]+` runs, 0-based positions over kept
@@ -731,6 +763,55 @@ object SparkEntry {
          |    * ${tfNormSql("pf.freq", "dl.dlq")} AS score
          |  FROM pf JOIN dl ON pf.doc_id = dl.doc_id
          |  WHERE pf.freq > 0
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // stop-filtered index: tokens are filtered AFTER positions are assigned
+    // (StopFilter keeps position increments), doc length counts only kept
+    // tokens, docCount counts every document
+    "q55_stop_phrase" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+         |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+         |  FROM documents
+         |), toks0 AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+         |  FROM raw WHERE term <> ''
+         |), toks AS (
+         |  SELECT doc_id, term, pos FROM toks0 WHERE term NOT IN ($StopList)
+         |), quant(q) AS (
+         |  SELECT * FROM (VALUES $QuantValues)
+         |), dl0 AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), dl AS (
+         |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM documents) AS n,
+         |         (SELECT sum(dl) FROM dl0)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT pf.doc_id,
+         |    (${idfSql("(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'data'))")}
+         |     + ${idfSql("(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'filter'))")})
+         |    * ${tfNormSql("pf.freq", "dl.dlq")} AS score
+         |  FROM (
+         |    SELECT a.doc_id, count(*) AS freq
+         |    FROM (SELECT doc_id, pos FROM toks WHERE term = 'data') a
+         |    JOIN (SELECT doc_id, pos FROM toks WHERE term = 'filter') b
+         |      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |    GROUP BY a.doc_id
+         |  ) pf JOIN dl ON pf.doc_id = dl.doc_id
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q56_lm_jelinek_mercer" ->
+      s"""$CTE, s2 AS (SELECT sum(dl) AS total FROM dl),
+         |tstat AS (SELECT count(*) AS ttf FROM toks WHERE term = 'spark')
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT tf.doc_id,
+         |    ln(1 + ((1 - 0.1) * tf.freq / dl.dlq)
+         |           / (0.1 * (((SELECT ttf FROM tstat) + 1.0) / ((SELECT total FROM s2) + 1.0)))) AS score
+         |  FROM (SELECT doc_id, count(*) AS freq FROM toks WHERE term = 'spark' GROUP BY doc_id) tf
+         |  JOIN dl ON tf.doc_id = dl.doc_id
          |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
   ) ++ graft.pipeline.PipelineQueries.oracleSql
 }

@@ -34,10 +34,20 @@ trait Analyzer extends Serializable {
 }
 
 object Analyzers {
+  /** The reference's classic 33-word English stop set
+    * (`lucene/analysis/common/src/java/org/apache/lucene/analysis/en/EnglishAnalyzer.java:45-50`). */
+  val EnglishStopWords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if", "in",
+    "into", "is", "it", "no", "not", "of", "on", "or", "such", "that", "the",
+    "their", "then", "there", "these", "they", "this", "to", "was", "will",
+    "with")
+
   def byName(name: String): Analyzer = name match {
-    case "simple"   => SimpleAnalyzer
-    case "standard" => StandardLikeAnalyzer()
-    case other      => throw new IllegalArgumentException(s"unknown analyzer: $other")
+    case "simple"         => SimpleAnalyzer
+    case "standard"       => StandardLikeAnalyzer()
+    case "simple-en-stop" => SimpleStopAnalyzer(EnglishStopWords)
+    case "english"        => EnglishAnalyzer()
+    case other            => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
 }
 
@@ -120,6 +130,57 @@ final case class StandardLikeAnalyzer(
       i += Character.charCount(cp)
     }
     false
+  }
+}
+
+/** [[SimpleAnalyzer]] runs + a stop filter that keeps position increments
+  * (`lucene/core/src/java/org/apache/lucene/analysis/StopFilter.java:25`):
+  * dropped stopwords still advance the position, so phrases cannot match
+  * across them. Deliberately SQL-expressible (filter the simple token stream
+  * by the stop set, keep original positions), so stop-filtered indexes remain
+  * DuckDB-oracle-checkable. */
+final case class SimpleStopAnalyzer(stopWords: Set[String]) extends Analyzer {
+  override val name = "simple-en-stop"
+
+  override def tokenize(text: String): IndexedSeq[Token] = {
+    val out = Vector.newBuilder[Token]
+    tokenizeRaw(text, (src, s, e, pos) => out += Token(src.substring(s, e), pos))
+    out.result()
+  }
+
+  override def tokenizeRaw(text: String, sink: TokenSink): Unit =
+    SimpleAnalyzer.tokenizeRaw(text, new TokenSink {
+      override def accept(src: String, start: Int, end: Int, position: Int): Unit = {
+        // position is the pre-filter token index — the increment survives
+        if (!stopWords.contains(src.substring(start, end)))
+          sink.accept(src, start, end, position)
+      }
+    })
+}
+
+/** The reference's English analysis chain
+  * (`lucene/analysis/common/src/java/org/apache/lucene/analysis/en/EnglishAnalyzer.java:102-110`):
+  * standard (UAX#29-style) tokenization → possessive strip (trailing 's,
+  * `EnglishPossessiveFilter.java`) → lowercase → English stop set (position
+  * increments kept) → Porter stemmer. */
+final case class EnglishAnalyzer(
+    stopWords: Set[String] = Analyzers.EnglishStopWords) extends Analyzer {
+  override val name = "english"
+
+  private def stripPossessive(t: String): String =
+    if (t.length >= 2 && (t.endsWith("'s") || t.endsWith("’s") || t.endsWith("＇s")))
+      t.substring(0, t.length - 2)
+    else t
+
+  override def tokenize(text: String): IndexedSeq[Token] = {
+    val out = Vector.newBuilder[Token]
+    StandardLikeAnalyzer().tokenize(text).foreach { tok =>
+      val stripped = stripPossessive(tok.term)
+      if (!stopWords.contains(stripped))
+        out += Token(PorterStemmer.stem(stripped), tok.position)
+      // stopped terms keep their position increment (position is pre-filter)
+    }
+    out.result()
   }
 }
 

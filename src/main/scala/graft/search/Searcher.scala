@@ -86,6 +86,12 @@ object ScoringMode {
     * (`LMSimilarity.java:151` DefaultCollectionModel), `μ = 2000`.
     * Double precision on quantized doc lengths — SQL-oracle-reproducible. */
   final case class PreciseLMDirichlet(mu: Double = 2000.0) extends ScoringMode
+  /** Jelinek-Mercer–smoothed query-likelihood language model
+    * (`lucene/core/src/java/org/apache/lucene/search/similarities/LMJelinekMercerSimilarity.java:50-58`):
+    * `score = boost · ln(1 + ((1−λ)·freq/dl) / (λ·P(t|C)))`,
+    * `P(t|C) = (ttf+1)/(sumTTF+1)`. Double precision on quantized doc
+    * lengths — SQL-oracle-reproducible. */
+  final case class PreciseLMJelinekMercer(lambda: Double = 0.1) extends ScoringMode
 }
 
 /** Distributed query execution over an [[InvertedIndex]].
@@ -148,6 +154,9 @@ final class Searcher(
         val s = boost * (math.log(1 + freq / (mu * p)) + math.log(mu / (dl + mu)))
         if (s > 0.0) s else 0.0
       }
+    case ScoringMode.PreciseLMJelinekMercer(lambda) =>
+      val p = (stats.totalTermFreq + 1.0) / (cs.sumTotalTermFreq + 1.0)
+      (freq, dl) => boost * math.log(1 + ((1 - lambda) * freq / dl) / (lambda * p))
   }
 
   /** Upper bound of [[termScorer]] over any posting in a block with the given
@@ -191,9 +200,9 @@ final class Searcher(
       val idfSum = stats.map(s => math.log((cs.docCount + 1) / (s.docFreq + 1.0)) + 1.0).sum
       val weight = boost * idfSum * idfSum
       (freq: Double, dl: Int) => weight * math.sqrt(freq) / math.sqrt(dl.toDouble)
-    case ScoringMode.PreciseLMDirichlet(_) =>
+    case ScoringMode.PreciseLMDirichlet(_) | ScoringMode.PreciseLMJelinekMercer(_) =>
       throw new UnsupportedOperationException(
-        "LM-Dirichlet phrase statistics are not defined in this engine; use a term query")
+        "LM phrase statistics are not defined in this engine; use a term query")
   }
 
   // ------------------------------------------------------------- statistics
