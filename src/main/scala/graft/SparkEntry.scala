@@ -26,6 +26,33 @@ object Indexes {
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     new Searcher(documentsIndex(spark, sfDir), ScoringMode.PreciseBM25())
 
+  /** Documents index with `doc_id % 7 == 3` tombstoned (liveDocs search
+    * path; statistics stay deletion-blind like the reference). Built in its
+    * own dir so the shared index stays delete-free. */
+  def tombstonedIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#tomb", {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-tomb-").toString
+      val docs = graft.pipeline.TextOps.parallelized(
+          spark.read.parquet(s"$sfDir/documents.parquet"))
+        .select(col("doc_id").as("docId"), col("text"))
+        .as[InputDoc]
+      IndexBuilder.build(docs, dir, IndexConfig(SimpleAnalyzer, withPositions = true))
+      val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id").cast("long")).as[java.lang.Long]
+      Deletes.tombstone(spark, dir, ids)
+      InvertedIndex.open(spark, dir)
+    })
+
+  /** [[tombstonedIndex]] after a purge-merge: tombstones physically removed,
+    * statistics recomputed over the survivors (forceMergeDeletes). */
+  def purgedIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#purged", {
+      val t = tombstonedIndex(spark, sfDir)
+      SegmentMerger.merge(t, t.dir + "-purged", computeMetrics = false)._1
+    })
+
   /** Documents indexed through the stop-filtered analysis chain
     * ([[graft.core.SimpleStopAnalyzer]], English stop set): doc lengths
     * exclude stopwords and positions keep the increments of removed tokens —
@@ -314,6 +341,40 @@ object SparkEntry {
     "q56_lm_jelinek_mercer" -> ((s, dir) => {
       topk(new Searcher(Indexes.documentsIndex(s, dir), ScoringMode.PreciseLMJelinekMercer())
         .scored(TermQuery("spark")), 10)
+    }),
+    "q58_delete_live" -> ((s, dir) => {
+      // tombstoned-but-unpurged index: matches exclude deleted docs, but
+      // df/docCount/avgdl still count them — the reference's exact semantics
+      // between deleteDocuments and the purging merge
+      topk(new Searcher(Indexes.tombstonedIndex(s, dir)).scored(TermQuery("spark")), 10)
+    }),
+    "q59_delete_purged" -> ((s, dir) => {
+      // after the purge-merge: deleted docs gone from postings AND stats
+      topk(new Searcher(Indexes.purgedIndex(s, dir)).scored(TermQuery("spark")), 10)
+    }),
+    "q61_highlight" -> ((s, dir) => {
+      Highlighter.highlight(docsTable(s, dir).filter(col("doc_id") < 200),
+          "doc_id", "text", Set("spark", "stream"), window = 5)
+        .orderBy("doc_id")
+    }),
+    "q60_intervals" -> ((s, dir) => {
+      // interval algebra: ordered(a, b) within max width — doc matches iff
+      // some in-order (pa < pb) pair spans ≤ 4 tokens; minimal-interval
+      // evaluation executor-side
+      docSet(Indexes.searcher(s, dir).scored(IntervalQuery(
+        Intervals.MaxWidth(4, Intervals.Ordered(Seq(
+          Intervals.Term("group"), Intervals.Term("key")))))))
+    }),
+    "q57_to_child_join" -> ((s, dir) => {
+      // ToChildBlockJoinQuery analog: children of parents matching the
+      // parent-side query (closes the r1 "untested" row for this operator)
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 200000.0)
+      val lineitem = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_quantity") >= 45.0)
+      BlockJoin.toChildren(orders, "o_orderkey", lineitem, "l_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
     })
   ) ++ graft.pipeline.PipelineQueries.queries
 
@@ -812,6 +873,63 @@ object SparkEntry {
          |           / (0.1 * (((SELECT ttf FROM tstat) + 1.0) / ((SELECT total FROM s2) + 1.0)))) AS score
          |  FROM (SELECT doc_id, count(*) AS freq FROM toks WHERE term = 'spark' GROUP BY doc_id) tf
          |  JOIN dl ON tf.doc_id = dl.doc_id
-         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+    "q58_delete_live" -> topkSql(
+      s"""SELECT doc_id, score FROM (${termScoreSql("spark")}) sc
+         |WHERE doc_id % 7 <> 3""".stripMargin, 10),
+
+    // fresh statistics: the oracle recomputes everything over the surviving
+    // documents only
+    "q59_delete_purged" -> {
+      val purgedCte = CTE.replace("FROM documents", "FROM documents WHERE doc_id % 7 <> 3")
+      s"""$purgedCte
+         |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("spark")}) scored
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
+    },
+
+    // best fragment = the 5-token window starting at a matched term with the
+    // most matched terms, ties earliest; matches wrapped <b></b>
+    "q61_highlight" ->
+      s"""$CTE, starts AS (
+         |  SELECT doc_id, pos FROM toks WHERE term IN ('spark', 'stream')
+         |), scored AS (
+         |  SELECT s.doc_id, s.pos,
+         |    (SELECT count(*) FROM toks b
+         |     WHERE b.doc_id = s.doc_id AND b.pos BETWEEN s.pos AND s.pos + 4
+         |       AND b.term IN ('spark', 'stream')) AS w
+         |  FROM starts s
+         |), best AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY w DESC, pos) AS rn
+         |    FROM scored) x WHERE rn = 1
+         |)
+         |SELECT t.doc_id,
+         |  string_agg(CASE WHEN t.term IN ('spark', 'stream')
+         |                  THEN '<b>' || t.term || '</b>' ELSE t.term END,
+         |             ' ' ORDER BY t.pos) AS snippet
+         |FROM toks t JOIN best ON t.doc_id = best.doc_id
+         |WHERE t.pos BETWEEN best.pos AND best.pos + 4 AND t.doc_id < 200
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // a doc has a minimal ordered interval of width <= 4 iff SOME in-order
+    // pair is within that width (minimality only removes containing
+    // duplicates, never the witness)
+    "q60_intervals" ->
+      s"""$CTE
+         |SELECT DISTINCT a.doc_id FROM toks a
+         |JOIN toks b ON b.doc_id = a.doc_id AND b.term = 'key'
+         |  AND a.pos < b.pos AND b.pos - a.pos + 1 <= 4
+         |WHERE a.term = 'group'
+         |ORDER BY a.doc_id""".stripMargin,
+
+    "q57_to_child_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber::BIGINT AS l_linenumber
+        |FROM lineitem l
+        |WHERE l.l_quantity >= 45.0
+        |  AND l.l_orderkey IN (
+        |    SELECT o_orderkey FROM orders
+        |    WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0)
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin
   ) ++ graft.pipeline.PipelineQueries.oracleSql
 }

@@ -190,6 +190,21 @@ object IndexBuilder {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** [[refreshStats]] for an index whose doc rows were rewritten without
+    * per-segment manifest rows (a purge-merge): collection stats aggregate
+    * the kind=0 doc rows (scalar columns only) instead of kind=2 manifests. */
+  private[graft] def refreshStatsFromDocs(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val data = spark.read.parquet(s"$dir/data")
+    data.filter($"kind" === 1)
+      .groupBy($"term")
+      .agg(sum($"df").cast("long").as("df"), sum($"ttf").as("ttf"))
+      .write.mode("overwrite").parquet(s"$dir/term_stats")
+    data.filter($"kind" === 0)
+      .agg(count(lit(1)).as("docCount"), sum($"doclen").cast("long").as("sumTotalTermFreq"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
   /** Per-partition segment accumulator (the DWPT analog). Streams input docs,
     * flushes a segment whenever the doc budget is reached, and emits one
     * manifest row per flushed segment. */
@@ -434,6 +449,19 @@ final class InvertedIndex private (
   @transient lazy val termStats: DataFrame = parent match {
     case Some(p) => p.termStats
     case None => spark.read.parquet(s"$dir/term_stats")
+  }
+
+  /** Tombstoned doc ids (`docId` column) pending physical purge, or None.
+    * Resolves the whole parent chain: a tombstone names an external doc id,
+    * which is version-independent, so deletes recorded on any ancestor apply
+    * here too ([[Deletes]]). */
+  @transient lazy val deletedDocs: Option[DataFrame] = {
+    val own =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/deletes")))
+        Some(spark.read.parquet(s"$dir/deletes"))
+      else None
+    (own.toSeq ++ parent.flatMap(_.deletedDocs).toSeq)
+      .reduceOption(_ unionAll _).map(_.distinct())
   }
 
   /** Serving mode: pin the postings and statistics views in cluster cache

@@ -101,6 +101,15 @@ object SegmentMerger {
     // salt keys on df: a term above the per-group budget is head, bucket count
     // proportional to its df. Broadcastable by Zipf: head terms are a
     // vanishing fraction of the vocabulary.
+    // Physical deletes: tombstoned doc ids are dropped during the rewrite
+    // (the forceMergeDeletes analog). The id set is broadcast — like the
+    // reference's in-RAM liveDocs bitsets, pending deletes are assumed small
+    // relative to the corpus between merges.
+    val purge = index.deletedDocs.isDefined
+    val delBc = spark.sparkContext.broadcast(
+      index.deletedDocs.map(_.select("docId").as[Long].collect().toSet)
+        .getOrElse(Set.empty[Long]))
+
     val headTerms: Map[String, Int] = index.termStats
       .filter(col("df") > targetPostingsPerGroup.toLong)
       .select("term", "df")
@@ -139,24 +148,31 @@ object SegmentMerger {
       .mapPartitions { rows =>
         val pid = TaskContext.getPartitionId()
         val grouped = new GroupedIterator(rows)
+        val deleted = delBc.value
         grouped.flatMap { case ((term, salt), rowBlocks) =>
           val decoded = rowBlocks.iterator.flatten.map { b =>
             PostingsCodec.decodeBlock(b, withPositions = b.positions.nonEmpty)
           }.toVector
-          val n = decoded.iterator.map(_.docs.length).sum
-          val docs = new Array[Long](n); val freqs = new Array[Int](n)
-          val dls = new Array[Int](n)
+          val cap = decoded.iterator.map(_.docs.length).sum
+          val docs = new Array[Long](cap); val freqs = new Array[Int](cap)
+          val dls = new Array[Int](cap)
           val hasPos = decoded.exists(_.positions.nonEmpty)
-          val pos = if (hasPos) new Array[Array[Int]](n) else null
+          val pos = if (hasPos) new Array[Array[Int]](cap) else null
           var o = 0
           decoded.foreach { d =>
             var i = 0
             while (i < d.docs.length) {
-              docs(o) = d.docs(i); freqs(o) = d.freqs(i); dls(o) = d.doclens(i)
-              if (hasPos) pos(o) = d.positions(i)
-              o += 1; i += 1
+              if (deleted.isEmpty || !deleted.contains(d.docs(i))) {
+                docs(o) = d.docs(i); freqs(o) = d.freqs(i); dls(o) = d.doclens(i)
+                if (hasPos) pos(o) = d.positions(i)
+                o += 1
+              }
+              i += 1
             }
           }
+          val n = o
+          if (n == 0) Iterator.empty
+          else {
           val order = Array.tabulate(n)(identity).sortBy(docs(_))
           val blocks = PostingsCodec.encodeBlocks(
             order.map(docs), order.map(freqs), order.map(dls),
@@ -167,6 +183,7 @@ object SegmentMerger {
               val ttf = grp.map(b => VByte.decode(b.freqs, b.count).map(_.toLong).sum).sum
               StageRow.postings(mergedSegBase + pid, term, salt * 100000 + gi, df, ttf, grp)
           }
+          }
         }
       }
 
@@ -176,13 +193,32 @@ object SegmentMerger {
       .option("compression", "zstd")
       .parquet(s"$targetDir/data")
 
-    // Docs, segment manifests and global stats are merge-invariant: the
-    // merged index references them through a parent link instead of
-    // rewriting them — a merge commit is "new postings + manifest swap",
-    // like the reference swapping `segments_N` without touching unchanged
-    // files (`lucene/core/src/java/org/apache/lucene/index/SegmentInfos.java:114`).
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$targetDir/parent"), index.dir)
+    if (purge) {
+      // Deletes applied: the merged index is standalone. Doc rows are
+      // filtered and rewritten, statistics recomputed over the survivors,
+      // and no tombstones carry over — the forceMergeDeletes contract.
+      def docsOwner(ix: InvertedIndex): InvertedIndex =
+        ix.parent.map(docsOwner).getOrElse(ix)
+      val delDf = index.deletedDocs.get.select(col("docId").as("delId")).distinct()
+      spark.read.parquet(s"${docsOwner(index).dir}/data")
+        .filter(col("kind") === 0)
+        .join(broadcast(delDf), col("docId") === col("delId"), "left_anti")
+        .drop("delId")
+        .write.mode("append").partitionBy("kind", "batchNs")
+        .option("compression", "zstd")
+        .parquet(s"$targetDir/data")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$targetDir/analyzer"), index.analyzer.name)
+      IndexBuilder.refreshStatsFromDocs(spark, targetDir)
+    } else {
+      // Docs, segment manifests and global stats are merge-invariant: the
+      // merged index references them through a parent link instead of
+      // rewriting them — a merge commit is "new postings + manifest swap",
+      // like the reference swapping `segments_N` without touching unchanged
+      // files (`lucene/core/src/java/org/apache/lucene/index/SegmentInfos.java:114`).
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$targetDir/parent"), index.dir)
+    }
 
     val out = InvertedIndex.open(spark, targetDir)
 

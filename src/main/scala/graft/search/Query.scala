@@ -81,6 +81,11 @@ final case class DisjunctionMaxQuery(disjuncts: Seq[Query], tieBreaker: Float = 
   * `lucene/core/src/java/org/apache/lucene/search/SloppyPhraseMatcher.java:54`. */
 final case class SpanNearQuery(terms: Seq[String], slop: Int, inOrder: Boolean) extends Query
 
+/** Interval-algebra query: docs with ≥ 1 minimal interval matching `source`
+  * (constant-score doc-set predicate; see [[IntervalsSource]]). Reference:
+  * `lucene/queries/src/java/org/apache/lucene/queries/intervals/IntervalQuery.java:48`. */
+final case class IntervalQuery(source: IntervalsSource) extends Query
+
 /** Restrict `inner`'s matches to a doc-id range (inclusive). Because doc ids
   * are assigned in global url order, this is the sorted-index range query:
   * posting blocks are skipped on their (firstDoc, lastDoc) metadata before

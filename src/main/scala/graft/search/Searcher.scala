@@ -216,6 +216,7 @@ final class Searcher(
     case PhraseQuery(ts, _) => ts.toSet
     case MultiPhraseQuery(ps) => ps.flatten.toSet
     case SpanNearQuery(ts, _, _) => ts.toSet
+    case IntervalQuery(src) => src.terms
     case DocIdRangeQuery(inner, _, _) => exactTerms(inner)
     case BooleanQuery(cs, _) => cs.flatMap(c => exactTerms(c._2)).toSet
     case BoostQuery(inner, _) => exactTerms(inner)
@@ -670,6 +671,39 @@ final class Searcher(
       .select(col("docId"), lit(boost).as("score"))
   }
 
+  /** Interval algebra: candidate docs from the union of present terms'
+    * positional postings, per-doc minimal-interval evaluation executor-side
+    * ([[IntervalEval]]); constant-scored doc set like the span paths. No
+    * doc-level conjunction pre-filter — an `Or` source can match with terms
+    * absent — the evaluator itself rejects docs missing required terms. */
+  private def intervalFrame(src: IntervalsSource, stats: Map[String, TermStats],
+                            boost: Double): DataFrame = {
+    val present = src.terms.toSeq.filter(stats.contains)
+    if (present.isEmpty) return emptyFrame
+    val perTerm = present.map { t =>
+      blocksOf(t)
+        .mapPartitions { it =>
+          it.flatMap { b =>
+            val d = PostingsCodec.decodeBlock(b, withPositions = true)
+            Iterator.tabulate(d.docs.length)(j => (d.docs(j), d.positions(j)))
+          }
+        }
+        .toDF("docId", "positions")
+        .withColumn("t", lit(t))
+    }
+    val src0 = src
+    val matchUdf = udf((plists: Seq[Row]) => {
+      val posMap: Map[String, Array[Int]] =
+        plists.map(r => r.getString(0) -> r.getSeq[Int](1).toArray).toMap
+      IntervalEval.matches(src0, posMap)
+    })
+    perTerm.reduce(_ unionAll _)
+      .groupBy("docId")
+      .agg(collect_list(struct(col("t"), col("positions"))).as("plists"))
+      .filter(matchUdf(col("plists")))
+      .select(col("docId"), lit(boost).as("score"))
+  }
+
   /** Multi-term expansion (prefix/range/set/fuzzy/regexp) with constant score
     * — the reference's CONSTANT_SCORE rewrite
     * (`lucene/core/src/java/org/apache/lucene/search/MultiTermQuery.java:38-83`).
@@ -771,11 +805,23 @@ final class Searcher(
 
   // ------------------------------------------------------------- compile
 
+  /** Pending tombstones of this index version ([[graft.index.Deletes]]). */
+  private lazy val tombstones: Option[DataFrame] = index.deletedDocs
+
+  /** liveDocs filter: drop tombstoned docs from a match set. Statistics stay
+    * deletion-blind by design — the reference's docFreq/docCount also count
+    * deleted docs until segments are rewritten. */
+  private def applyLive(df: DataFrame): DataFrame = tombstones match {
+    case Some(d) => df.join(broadcast(d.select(col("docId").as("delId"))),
+      col("docId") === col("delId"), "left_anti").drop("delId")
+    case None => df
+  }
+
   /** Compile a query to its full scored doc set `(docId, score)`. */
   def scored(q: Query): DataFrame = {
     val rewritten = QueryRewriter.rewrite(q)
     val stats = lookupStats(exactTerms(rewritten))
-    compile(rewritten, stats, 1.0)
+    applyLive(compile(rewritten, stats, 1.0))
   }
 
   private def compile(q: Query, stats: Map[String, TermStats], boost: Double): DataFrame = q match {
@@ -789,6 +835,7 @@ final class Searcher(
       else sloppyPhraseFrame(ts, slop, stats, boost)
     case MultiPhraseQuery(ps) => multiPhraseFrame(ps, stats, boost)
     case SpanNearQuery(ts, slop, inOrder) => spanNearFrame(ts, slop, inOrder, stats, boost)
+    case IntervalQuery(src) => intervalFrame(src, stats, boost)
     case DocIdRangeQuery(TermQuery(t), lo, hi) =>
       // sorted-index range: block-level skip on (firstDoc, lastDoc) metadata
       // before any decode — only boundary blocks need the per-doc filter
@@ -868,6 +915,11 @@ final class Searcher(
     * the reference's `TopDocs.merge` tiebreak. */
   def search(q: Query, k: Int): DataFrame = {
     val rewritten = QueryRewriter.rewrite(q)
+    // with pending deletes, block-metadata pruning thresholds could count
+    // tombstoned docs toward k — take the exhaustive path until a merge
+    // purges them (the reference's pruning also degrades under deletions)
+    if (tombstones.isDefined)
+      return scored(rewritten).orderBy(desc("score"), asc("docId")).limit(k)
     rewritten match {
       // constant-score expansions: top-k = k smallest doc ids, block-metadata
       // pruned (see expansionTopK) — the r1 p95 tail was wide prefix/range

@@ -88,6 +88,8 @@ object Monitor {
         !nots.exists(matches(_, doc)) &&
         should.count(matches(_, doc)) >= neededShould &&
         (must.nonEmpty || filter.nonEmpty || should.nonEmpty)
+    case IntervalQuery(src) =>
+      IntervalEval.matches(src, doc.positions)
     case _: DocIdRangeQuery =>
       // a DocView has no doc id — fail the registration, not the micro-batch
       throw new UnsupportedOperationException(

@@ -1,0 +1,86 @@
+package graft
+
+import graft.search.{IntervalEval, Intervals}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Minimal-interval algebra spec: handcrafted semantics cases plus
+  * brute-force doc-match equivalences on random position data. */
+class IntervalsSpec extends AnyFunSuite {
+  import Intervals._
+
+  private def pos(pairs: (String, Seq[Int])*): Map[String, Array[Int]] =
+    pairs.map { case (t, ps) => t -> ps.toArray.sorted }.toMap
+
+  test("ordered: in-order minimal intervals only") {
+    // doc: a . b a . . b
+    val p = pos("a" -> Seq(0, 3), "b" -> Seq(2, 6))
+    val got = IntervalEval.eval(Ordered(Seq(Term("a"), Term("b"))), p)
+    // minimal ordered: (0,2) and (3,6); (0,6) contains (3,6) so dropped
+    assert(got == Vector((0, 2), (3, 6)))
+  }
+
+  test("ordered requires order; unordered does not") {
+    val p = pos("a" -> Seq(5), "b" -> Seq(2))
+    assert(IntervalEval.eval(Ordered(Seq(Term("a"), Term("b"))), p).isEmpty)
+    assert(IntervalEval.eval(Unordered(Seq(Term("a"), Term("b"))), p) == Vector((2, 5)))
+  }
+
+  test("or unions and minimalizes; phrase is consecutive") {
+    val p = pos("a" -> Seq(1, 4), "b" -> Seq(2))
+    assert(IntervalEval.eval(Or(Seq(Term("a"), Term("b"))), p) == Vector((1, 1), (2, 2), (4, 4)))
+    assert(IntervalEval.eval(Phrase(Seq("a", "b")), p) == Vector((1, 2)))
+    assert(IntervalEval.eval(Phrase(Seq("b", "a")), p).isEmpty)
+  }
+
+  test("containing / containedBy") {
+    val p = pos("a" -> Seq(0), "b" -> Seq(4), "x" -> Seq(2))
+    val big = Unordered(Seq(Term("a"), Term("b"))) // (0,4)
+    assert(IntervalEval.eval(Containing(big, Term("x")), p) == Vector((0, 4)))
+    assert(IntervalEval.eval(Containing(big, Term("zzz")), p).isEmpty)
+    assert(IntervalEval.eval(ContainedBy(Term("x"), big), p) == Vector((2, 2)))
+    assert(IntervalEval.eval(ContainedBy(Term("a"), Term("a")), p) == Vector((0, 0)))
+  }
+
+  test("maxgaps counts non-leaf positions inside the interval") {
+    val p = pos("a" -> Seq(0), "b" -> Seq(3))
+    val o = Ordered(Seq(Term("a"), Term("b"))) // (0,3): width 4, 2 leaves, 2 gaps
+    assert(IntervalEval.eval(MaxGaps(2, o), p) == Vector((0, 3)))
+    assert(IntervalEval.eval(MaxGaps(1, o), p).isEmpty)
+  }
+
+  test("doc-match equivalence vs brute force: maxwidth(ordered(a,b)) and unordered window") {
+    val rnd = new Random(17)
+    (0 until 2000).foreach { _ =>
+      val a = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(20)).distinct.sorted
+      val b = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(20)).distinct.sorted
+      val w = 1 + rnd.nextInt(8)
+      val p = pos("a" -> a, "b" -> b)
+      val gotOrdered = IntervalEval.matches(MaxWidth(w, Ordered(Seq(Term("a"), Term("b")))), p)
+      val wantOrdered = a.exists(pa => b.exists(pb => pa < pb && pb - pa + 1 <= w))
+      assert(gotOrdered == wantOrdered, s"ordered a=$a b=$b w=$w")
+      val gotUn = IntervalEval.matches(MaxWidth(w, Unordered(Seq(Term("a"), Term("b")))), p)
+      val wantUn = a.exists(pa => b.exists(pb => math.max(pa, pb) - math.min(pa, pb) + 1 <= w))
+      assert(gotUn == wantUn, s"unordered a=$a b=$b w=$w")
+    }
+  }
+
+  test("minimality: no returned interval properly contains another") {
+    val rnd = new Random(23)
+    (0 until 500).foreach { _ =>
+      val p = pos(
+        "a" -> Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(25)).distinct.sorted,
+        "b" -> Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(25)).distinct.sorted,
+        "c" -> Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(25)).distinct.sorted)
+      Seq[graft.search.IntervalsSource](
+        Ordered(Seq(Term("a"), Term("b"), Term("c"))),
+        Unordered(Seq(Term("a"), Term("b"), Term("c"))),
+        Or(Seq(Term("a"), Phrase(Seq("b", "c"))))
+      ).foreach { src =>
+        val ivs = IntervalEval.eval(src, p)
+        for (x <- ivs; y <- ivs if x != y)
+          assert(!(x._1 <= y._1 && y._2 <= x._2), s"$src: $x contains $y in ${ivs}")
+      }
+    }
+  }
+}
