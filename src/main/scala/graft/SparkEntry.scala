@@ -352,6 +352,9 @@ object SparkEntry {
       // after the purge-merge: deleted docs gone from postings AND stats
       topk(new Searcher(Indexes.purgedIndex(s, dir)).scored(TermQuery("spark")), 10)
     }),
+    "q62_suggest" -> ((s, dir) => {
+      Suggester.suggest(Indexes.documentsIndex(s, dir), "s", 8)
+    }),
     "q61_highlight" -> ((s, dir) => {
       Highlighter.highlight(docsTable(s, dir).filter(col("doc_id") < 200),
           "doc_id", "text", Set("spark", "stream"), window = 5)
@@ -886,6 +889,12 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("spark")}) scored
          |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
     },
+
+    "q62_suggest" ->
+      s"""$CTE
+         |SELECT term, count(DISTINCT doc_id) AS weight FROM toks
+         |WHERE term LIKE 's%'
+         |GROUP BY term ORDER BY weight DESC, term LIMIT 8""".stripMargin,
 
     // best fragment = the 5-token window starting at a matched term with the
     // most matched terms, ties earliest; matches wrapped <b></b>

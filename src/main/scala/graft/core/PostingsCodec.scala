@@ -78,6 +78,84 @@ object VByte {
   }
 }
 
+/** Frame-of-Reference bit packing: all values of an array packed at the bit
+  * width of the largest (1 width byte + ⌈n·w/8⌉ payload bytes, little-endian
+  * bit order). The reference packs its 128-int posting blocks the same way
+  * (`lucene/core/src/java/org/apache/lucene/codecs/lucene103/ForUtil.java:64`);
+  * unlike VByte the decode loop is branch-free per value, and typical doc-gap
+  * frames cost ~half the bytes. (The reference's PFOR exception patching —
+  * `PForUtil.java:28` — is intentionally skipped: one outlier widens the
+  * frame, a simplicity/size trade this corpus measures as negligible.)
+  */
+object BitPack {
+  def pack(xs: Array[Long]): Array[Byte] = {
+    var max = 0L
+    var i = 0
+    while (i < xs.length) { if (xs(i) > max) max = xs(i); i += 1 }
+    val w = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(max))
+    val out = new Array[Byte](1 + (xs.length * w + 7) / 8)
+    out(0) = w.toByte
+    var bitPos = 0
+    i = 0
+    while (i < xs.length) {
+      val v = xs(i)
+      var done = 0
+      var p = bitPos
+      while (done < w) {
+        val avail = 8 - (p & 7)
+        val take = math.min(avail, w - done)
+        val chunk = ((v >>> done) & ((1L << take) - 1)).toInt
+        val idx = 1 + (p >> 3)
+        out(idx) = (out(idx) | (chunk << (p & 7))).toByte
+        done += take
+        p += take
+      }
+      bitPos += w
+      i += 1
+    }
+    out
+  }
+
+  def unpack(bytes: Array[Byte], n: Int): Array[Long] = {
+    val w = bytes(0).toInt
+    val out = new Array[Long](n)
+    var bitPos = 0
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var done = 0
+      var p = bitPos
+      while (done < w) {
+        val avail = 8 - (p & 7)
+        val take = math.min(avail, w - done)
+        val chunk = ((bytes(1 + (p >> 3)) >> (p & 7)) & ((1 << take) - 1)).toLong
+        v |= chunk << done
+        done += take
+        p += take
+      }
+      out(i) = v
+      bitPos += w
+      i += 1
+    }
+    out
+  }
+
+  def packInts(xs: Array[Int]): Array[Byte] = {
+    val longs = new Array[Long](xs.length)
+    var i = 0
+    while (i < xs.length) { longs(i) = xs(i).toLong; i += 1 }
+    pack(longs)
+  }
+
+  def unpackInts(bytes: Array[Byte], n: Int): Array[Int] = {
+    val longs = unpack(bytes, n)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) { out(i) = longs(i).toInt; i += 1 }
+    out
+  }
+}
+
 /** One compressed posting block: ≤ [[PostingsCodec.BlockSize]] documents of a
   * single term, with skip/impact metadata for block-max pruning.
   *
@@ -108,10 +186,10 @@ object VByte {
   * @param count     number of documents in the block
   * @param maxFreq   max term frequency within the block
   * @param minDlb    norm byte of the shortest doc in the block
-  * @param docDeltas VByte doc-id gaps (first value 0, relative to firstDoc)
-  * @param freqs     VByte term frequencies (≥ 1)
+  * @param docDeltas FOR-bit-packed doc-id gaps (first value 0, relative to firstDoc)
+  * @param freqs     FOR-bit-packed term frequencies (≥ 1)
   * @param dlbs      raw SmallFloat norm byte per member doc (count bytes)
-  * @param positions VByte per-doc position deltas, concatenated in doc order;
+  * @param positions FOR-bit-packed per-doc position deltas, concatenated in doc order;
   *                  doc i contributes freqs(i) values (delta vs previous
   *                  position in the doc, first absolute). Empty when positions
   *                  are not indexed.
@@ -200,7 +278,7 @@ object PostingsCodec {
             }
             j += 1
           }
-          VByte.encode(flat)
+          BitPack.packInts(flat)
         }
       out += PostingBlock(
         firstDoc = docs(start),
@@ -208,8 +286,8 @@ object PostingsCodec {
         count = n,
         maxFreq = maxFreq,
         minDlb = minDlb,
-        docDeltas = VByte.encodeLongs(deltas),
-        freqs = VByte.encode(fr),
+        docDeltas = BitPack.pack(deltas),
+        freqs = BitPack.packInts(fr),
         dlbs = dlb,
         positions = posBytes)
       start = end
@@ -221,7 +299,7 @@ object PostingsCodec {
     * for constant-score doc-set paths (term expansion, field-exists) where
     * decoding the full block would triple the work. */
   def decodeDocIds(b: PostingBlock): Array[Long] = {
-    val deltas = VByte.decodeLongs(b.docDeltas, b.count)
+    val deltas = BitPack.unpack(b.docDeltas, b.count)
     val docs = new Array[Long](b.count)
     var acc = b.firstDoc
     var i = 0
@@ -230,12 +308,12 @@ object PostingsCodec {
   }
 
   def decodeBlock(b: PostingBlock, withPositions: Boolean = false): DecodedBlock = {
-    val deltas = VByte.decodeLongs(b.docDeltas, b.count)
+    val deltas = BitPack.unpack(b.docDeltas, b.count)
     val docs = new Array[Long](b.count)
     var acc = b.firstDoc
     var i = 0
     while (i < b.count) { acc += deltas(i); docs(i) = acc; i += 1 }
-    val freqs = VByte.decode(b.freqs, b.count)
+    val freqs = BitPack.unpackInts(b.freqs, b.count)
     val doclens = new Array[Int](b.count)
     i = 0
     while (i < b.count) { doclens(i) = SmallFloat.LengthTable(b.dlbs(i) & 0xFF); i += 1 }
@@ -245,7 +323,7 @@ object PostingsCodec {
         var total = 0
         i = 0
         while (i < b.count) { total += freqs(i); i += 1 }
-        val flat = VByte.decode(b.positions, total)
+        val flat = BitPack.unpackInts(b.positions, total)
         val out = new Array[Array[Int]](b.count)
         var o = 0
         i = 0

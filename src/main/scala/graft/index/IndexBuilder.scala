@@ -375,7 +375,7 @@ object IndexBuilder {
             val df = grp.map(_.count).sum
             val ttf = if (gi == 0 && blocks.size <= PostingsCodec.BlocksPerRow) buf.ttf else {
               // per-row partial ttf: recompute from the group's freqs
-              grp.map(b => VByte.decode(b.freqs, b.count).map(_.toLong).sum).sum
+              grp.map(b => BitPack.unpackInts(b.freqs, b.count).map(_.toLong).sum).sum
             }
             pending += StageRow.postings(segmentId, term, gi, df, ttf, grp)
             postingsFlushed += df
@@ -464,15 +464,30 @@ final class InvertedIndex private (
       .reduceOption(_ unionAll _).map(_.distinct())
   }
 
+  @transient @volatile private var warmStats: Map[String, (Long, Long)] = null
+
   /** Serving mode: pin the postings and statistics views in cluster cache
     * (compressed columnar) and materialize them — the analog of a
     * page-cache-resident Lucene index behind a `SearcherManager`. Repeated
-    * queries then scan memory, not parquet. */
+    * queries then scan memory, not parquet.
+    *
+    * The term dictionary additionally becomes driver-resident when it is
+    * small enough (Zipf vocabularies are tiny relative to postings): that
+    * removes the per-query term-stats lookup JOB entirely — the
+    * `TermStates.build` of a warm reader is a RAM lookup, not an IO. */
   def warm(): this.type = {
     postings.cache(); termStats.cache(); docs.cache()
-    postings.count(); termStats.count(); docs.count()
+    postings.count(); docs.count()
+    val n = termStats.count()
+    if (n <= 2000000L) {
+      warmStats = termStats.select("term", "df", "ttf").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
     this
   }
+
+  /** Driver-resident term dictionary when [[warm]]ed (term → (df, ttf)). */
+  def warmTermStats: Option[Map[String, (Long, Long)]] = Option(warmStats)
 }
 
 object InvertedIndex {

@@ -180,7 +180,7 @@ object SegmentMerger {
           blocks.grouped(PostingsCodec.BlocksPerRow).zipWithIndex.map {
             case (grp, gi) =>
               val df = grp.map(_.count).sum
-              val ttf = grp.map(b => VByte.decode(b.freqs, b.count).map(_.toLong).sum).sum
+              val ttf = grp.map(b => BitPack.unpackInts(b.freqs, b.count).map(_.toLong).sum).sum
               StageRow.postings(mergedSegBase + pid, term, salt * 100000 + gi, df, ttf, grp)
           }
           }

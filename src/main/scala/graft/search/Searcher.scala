@@ -227,12 +227,17 @@ final class Searcher(
 
   private def lookupStats(terms: Set[String]): Map[String, TermStats] = {
     if (terms.isEmpty) return Map.empty
-    index.termStats
-      .filter(col("term").isin(terms.toSeq: _*))
-      .select("term", "df", "ttf")
-      .collect()
-      .map(r => r.getString(0) -> TermStats(r.getLong(1), r.getLong(2)))
-      .toMap
+    index.warmTermStats match {
+      case Some(m) => // warm serving mode: RAM lookup, no Spark job
+        terms.iterator.flatMap(t => m.get(t).map(s => t -> TermStats(s._1, s._2))).toMap
+      case None =>
+        index.termStats
+          .filter(col("term").isin(terms.toSeq: _*))
+          .select("term", "df", "ttf")
+          .collect()
+          .map(r => r.getString(0) -> TermStats(r.getLong(1), r.getLong(2)))
+          .toMap
+    }
   }
 
   // ---------------------------------------------------------------- leaves

@@ -50,6 +50,26 @@ class VByteSpec extends AnyFunSuite {
   }
 }
 
+class BitPackSpec extends AnyFunSuite {
+  test("round trip at every width, including 64-bit values") {
+    val rnd = new Random(9)
+    (0 until 300).foreach { _ =>
+      val w = 1 + rnd.nextInt(63)
+      val n = 1 + rnd.nextInt(300)
+      val xs = Array.fill(n)(rnd.nextLong() & ((1L << w) - 1))
+      assert(BitPack.unpack(BitPack.pack(xs), n).toSeq == xs.toSeq)
+    }
+    val big = Array(Long.MaxValue, 0L, 1L, Long.MaxValue - 1)
+    assert(BitPack.unpack(BitPack.pack(big), 4).toSeq == big.toSeq)
+    assert(BitPack.unpack(BitPack.pack(Array(0L, 0L)), 2).toSeq == Seq(0L, 0L))
+  }
+
+  test("packed size is 1 + ceil(n*w/8) for the max value's width") {
+    val xs = Array.fill(128)(1000L) // 10 bits
+    assert(BitPack.pack(xs).length == 1 + (128 * 10 + 7) / 8)
+  }
+}
+
 class PostingsCodecSpec extends AnyFunSuite {
   private def randomPostings(rnd: Random): (Array[Long], Array[Int], Array[Int]) = {
     val n = 1 + rnd.nextInt(500)
