@@ -378,6 +378,22 @@ object SparkEntry {
       BlockJoin.toChildren(orders, "o_orderkey", lineitem, "l_orderkey")
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q63_dfr_inl2" -> ((s, dir) => {
+      topk(new Searcher(Indexes.documentsIndex(s, dir), ScoringMode.PreciseDFRInL2())
+        .scored(TermQuery("spark")), 10)
+    }),
+    "q64_ib_ll" -> ((s, dir) => {
+      topk(new Searcher(Indexes.documentsIndex(s, dir), ScoringMode.PreciseIBLL())
+        .scored(TermQuery("spark")), 10)
+    }),
+    "q65_axiomatic_f2exp" -> ((s, dir) => {
+      topk(new Searcher(Indexes.documentsIndex(s, dir), ScoringMode.PreciseAxiomaticF2EXP())
+        .scored(TermQuery("spark")), 10)
+    }),
+    "q66_dfi_chi2" -> ((s, dir) => {
+      topk(new Searcher(Indexes.documentsIndex(s, dir), ScoringMode.PreciseDFIChiSquared())
+        .scored(TermQuery("spark")), 10)
     })
   ) ++ graft.pipeline.PipelineQueries.queries
 
@@ -939,6 +955,57 @@ object SparkEntry {
         |  AND l.l_orderkey IN (
         |    SELECT o_orderkey FROM orders
         |    WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0)
-        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+
+    // DFR I(n)L2: tfn = freq·log2(1 + avgdl/dlq), score = log2((N+1)/(df+0.5))·tfn/(tfn+1)
+    "q63_dfr_inl2" ->
+      s"""$CTE, tdf AS (SELECT count(DISTINCT doc_id) AS df FROM toks WHERE term = 'spark')
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT tf.doc_id,
+         |    log2(((SELECT n FROM stats) + 1.0) / ((SELECT df FROM tdf) + 0.5))
+         |      * (tf.freq * log2(1 + (SELECT avgdl FROM stats) / dl.dlq))
+         |      / (tf.freq * log2(1 + (SELECT avgdl FROM stats) / dl.dlq) + 1.0) AS score
+         |  FROM (SELECT doc_id, count(*) AS freq FROM toks WHERE term = 'spark' GROUP BY doc_id) tf
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // IB log-logistic: λ = (df+1)/(N+1), score = ln(1 + tfn/λ)
+    "q64_ib_ll" ->
+      s"""$CTE, tdf AS (SELECT count(DISTINCT doc_id) AS df FROM toks WHERE term = 'spark')
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT tf.doc_id,
+         |    ln(1 + (tf.freq * log2(1 + (SELECT avgdl FROM stats) / dl.dlq))
+         |           / (((SELECT df FROM tdf) + 1.0) / ((SELECT n FROM stats) + 1.0))) AS score
+         |  FROM (SELECT doc_id, count(*) AS freq FROM toks WHERE term = 'spark' GROUP BY doc_id) tf
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Axiomatic F2EXP: score = ((N+1)/df)^0.35 · freq/(freq + 0.5 + 0.5·dlq/avgdl)
+    "q65_axiomatic_f2exp" ->
+      s"""$CTE, tdf AS (SELECT count(DISTINCT doc_id) AS df FROM toks WHERE term = 'spark')
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT tf.doc_id,
+         |    pow(((SELECT n FROM stats) + 1.0) / (SELECT df FROM tdf), 0.35)
+         |      * tf.freq / (tf.freq + 0.5 + 0.5 * dl.dlq / (SELECT avgdl FROM stats)) AS score
+         |  FROM (SELECT doc_id, count(*) AS freq FROM toks WHERE term = 'spark' GROUP BY doc_id) tf
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // DFI chi²: e = (ttf+1)·dlq/(sumTTF+1); 0 if freq ≤ e else log2(1+(freq−e)²/e)
+    "q66_dfi_chi2" ->
+      s"""$CTE, s2 AS (SELECT sum(dl) AS total FROM dl),
+         |tstat AS (SELECT count(*) AS ttf FROM toks WHERE term = 'spark')
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN freq <= expected THEN 0.0
+         |         ELSE log2(1 + (freq - expected) * (freq - expected) / expected)
+         |    END AS score
+         |  FROM (
+         |    SELECT tf.doc_id, tf.freq,
+         |      (((SELECT ttf FROM tstat) + 1.0) / ((SELECT total FROM s2) + 1.0)) * dl.dlq AS expected
+         |    FROM (SELECT doc_id, count(*) AS freq FROM toks WHERE term = 'spark' GROUP BY doc_id) tf
+         |    JOIN dl ON tf.doc_id = dl.doc_id
+         |  ) ex
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
   ) ++ graft.pipeline.PipelineQueries.oracleSql
 }

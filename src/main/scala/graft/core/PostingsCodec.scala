@@ -171,9 +171,18 @@ object BitPack {
   * `maxFreq` and `minDlb` (the norm byte of the shortest doc in the block)
   * give a conservative per-block score upper bound: BM25 is monotone
   * increasing in freq and decreasing in doc length, so
-  * score(maxFreq, minDlb) ≥ any member's score. (The reference keeps a
-  * pareto frontier of (freq, norm) pairs for a tighter bound; this single
-  * pair is looser but always valid.)
+  * score(maxFreq, minDlb) ≥ any member's score.
+  *
+  * `impFreqs`/`impDlbs` tighten that to the reference's competitive-impact
+  * pareto frontier (`CompetitiveImpactAccumulator.java:27`): the maximal
+  * (freq, norm) pairs under the order "freq ≥ and length ≤" — every posting
+  * in the block is dominated by some frontier pair, so for any similarity
+  * monotone in freq and antitone in length,
+  * `max_i score(impFreqs(i), impDlbs(i))` bounds every member's score and is
+  * ≤ the single-pair bound (the frontier never pairs the block's max freq
+  * with its min length unless one doc actually has both). Capped at
+  * [[PostingsCodec.MaxImpacts]] pairs by merging adjacent entries (keeping
+  * the higher freq with the lower length — still dominating).
   *
   * Per-doc lengths are stored as the reference's one-byte SmallFloat norm
   * (`lucene/core/src/java/org/apache/lucene/index/IndexingChain.java` norms;
@@ -200,6 +209,10 @@ final case class PostingBlock(
     count: Int,
     maxFreq: Int,
     minDlb: Byte,
+    /** competitive-impact frontier: freqs strictly ascending */
+    impFreqs: Array[Int],
+    /** norm byte per frontier entry; quantized lengths strictly ascending */
+    impDlbs: Array[Byte],
     docDeltas: Array[Byte],
     freqs: Array[Byte],
     dlbs: Array[Byte],
@@ -225,6 +238,57 @@ object PostingsCodec {
     * row payload size so head terms never materialize as one giant row. */
   val BlocksPerRow = 32
 
+  /** Max competitive-impact pairs kept per block (the reference accumulates
+    * an unbounded frontier per 128-doc block then serializes a capped set;
+    * 8 pairs bound the metadata at ~40 bytes/block). */
+  val MaxImpacts = 8
+
+  /** Pareto frontier of (freq, quantized-length) over one block's postings:
+    * maximal pairs under (freq ≥, length ≤), returned freq-ascending /
+    * length-ascending, capped at [[MaxImpacts]] by merging adjacent pairs
+    * into (higherFreq, lowerLength) — a superset bound, still dominating. */
+  private[core] def impactFrontier(fr: Array[Int], dlq: Array[Int]): (Array[Int], Array[Byte]) = {
+    // min length per distinct freq
+    val minLen = new java.util.TreeMap[Integer, Integer]()
+    var i = 0
+    while (i < fr.length) {
+      val cur = minLen.get(fr(i))
+      if (cur == null || dlq(i) < cur) minLen.put(fr(i), dlq(i))
+      i += 1
+    }
+    // keep pairs whose length is strictly below every higher-freq pair's
+    val fs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var running = Int.MaxValue
+    val it = minLen.descendingMap().entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue < running) { fs += e.getKey; ds += e.getValue; running = e.getValue }
+    }
+    // now freq descending / length descending; flip to ascending
+    val n0 = fs.length
+    var lo = 0; var hi = n0 - 1
+    while (lo < hi) {
+      val tf = fs(lo); fs(lo) = fs(hi); fs(hi) = tf
+      val td = ds(lo); ds(lo) = ds(hi); ds(hi) = td
+      lo += 1; hi -= 1
+    }
+    // cap: merge the adjacent pair with the smallest freq gap into
+    // (f_{i+1}, d_i) — dominates both merged entries
+    while (fs.length > MaxImpacts) {
+      var best = 0; var bestGap = Int.MaxValue
+      var j = 0
+      while (j < fs.length - 1) {
+        val g = fs(j + 1) - fs(j)
+        if (g < bestGap) { bestGap = g; best = j }
+        j += 1
+      }
+      ds(best + 1) = ds(best)
+      fs.remove(best); ds.remove(best)
+    }
+    (fs.toArray, ds.map(SmallFloat.intToByte4).toArray)
+  }
+
   /** Encode one term's postings (sorted by doc id, doc-unique) into blocks.
     * `doclens(i)` is the token count of doc `docs(i)` (exact or already
     * quantized — quantization is idempotent).
@@ -244,6 +308,7 @@ object PostingsCodec {
       val deltas = new Array[Long](n)
       val fr = new Array[Int](n)
       val dlb = new Array[Byte](n)
+      val dlq = new Array[Int](n)
       var maxFreq = 0
       var minLen = Int.MaxValue
       var minDlb: Byte = 0
@@ -256,10 +321,12 @@ object PostingsCodec {
         fr(i) = freqs(start + i)
         val dl = doclens(start + i)
         dlb(i) = SmallFloat.intToByte4(dl)
+        dlq(i) = SmallFloat.byte4ToInt(dlb(i))
         if (fr(i) > maxFreq) maxFreq = fr(i)
         if (dl < minLen) { minLen = dl; minDlb = dlb(i) }
         i += 1
       }
+      val (impFreqs, impDlbs) = impactFrontier(fr, dlq)
       val posBytes =
         if (positions eq null) Array.emptyByteArray
         else {
@@ -286,6 +353,8 @@ object PostingsCodec {
         count = n,
         maxFreq = maxFreq,
         minDlb = minDlb,
+        impFreqs = impFreqs,
+        impDlbs = impDlbs,
         docDeltas = BitPack.pack(deltas),
         freqs = BitPack.packInts(fr),
         dlbs = dlb,

@@ -67,6 +67,23 @@ object CheckIndex {
             if (maxFreq != b.maxFreq) errs += s"$term: maxFreq ${b.maxFreq} != $maxFreq"
             if (SmallFloat.intToByte4(minLen) != b.minDlb)
               errs += s"$term: minDlb mismatch"
+            // competitive-impact frontier must dominate every posting
+            if (b.impFreqs.isEmpty || b.impFreqs.length != b.impDlbs.length)
+              errs += s"$term: malformed impact frontier"
+            else {
+              i = 0
+              while (i < d.docs.length) {
+                var dominated = false
+                var j = 0
+                while (j < b.impFreqs.length && !dominated) {
+                  if (b.impFreqs(j) >= d.freqs(i) &&
+                      SmallFloat.byte4ToInt(b.impDlbs(j)) <= d.doclens(i)) dominated = true
+                  j += 1
+                }
+                if (!dominated) errs += s"$term: posting (${d.freqs(i)},${d.doclens(i)}) not dominated by impact frontier"
+                i += 1
+              }
+            }
           }
           if (n != df) errs += s"$term: df $df != posting length $n"
           if (sumFreq != ttf) errs += s"$term: ttf $ttf != sum(freq) $sumFreq"

@@ -46,7 +46,7 @@ object QueryParser {
   private case object NotOp extends Tok
   private case object Plus extends Tok
   private case object Minus extends Tok
-  private final case class Phrase(s: String, boost: Option[Float]) extends Tok
+  private final case class Phrase(s: String, slop: Int, boost: Option[Float]) extends Tok
   private final case class Regex(s: String, boost: Option[Float]) extends Tok
   private final case class Range(lo: String, hi: String, incLo: Boolean, incHi: Boolean,
                                  boost: Option[Float]) extends Tok
@@ -88,7 +88,16 @@ object QueryParser {
           if (close < 0) throw ParseException("unterminated phrase")
           val body = in.substring(i + 1, close)
           i = close + 1
-          out += Phrase(body, readBoost())
+          // optional slop: "a b"~2 (the classic syntax's proximity suffix)
+          val slop =
+            if (i < n && in.charAt(i) == '~') {
+              i += 1
+              val ds = i
+              while (i < n && in.charAt(i).isDigit) i += 1
+              if (i == ds) throw ParseException("dangling ~ after phrase")
+              in.substring(ds, i).toInt
+            } else 0
+          out += Phrase(body, slop, readBoost())
         case '/' =>
           val close = in.indexOf('/', i + 1)
           if (close < 0) throw ParseException("unterminated regexp")
@@ -183,12 +192,12 @@ object QueryParser {
             case RParen :: r3 => addClause(inner); rest = r3
             case _ => throw ParseException("missing )")
           }
-        case Phrase(body, boost) =>
+        case Phrase(body, slop, boost) =>
           val terms = analyzer.tokenize(body).map(_.term)
           val q: Query =
             if (terms.isEmpty) MatchNoDocsQuery
             else if (terms.size == 1) TermQuery(terms.head)
-            else PhraseQuery(terms)
+            else PhraseQuery(terms, slop)
           addClause(boost.fold(q)(b => BoostQuery(q, b)))
           rest = rest.tail
         case Regex(body, boost) =>

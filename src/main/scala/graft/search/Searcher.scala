@@ -92,6 +92,33 @@ object ScoringMode {
     * `P(t|C) = (ttf+1)/(sumTTF+1)`. Double precision on quantized doc
     * lengths — SQL-oracle-reproducible. */
   final case class PreciseLMJelinekMercer(lambda: Double = 0.1) extends ScoringMode
+  /** DFR I(n)L2 — divergence from randomness with the inverse-document-
+    * frequency basic model, Laplace after-effect and H2 length normalization
+    * (`lucene/core/src/java/org/apache/lucene/search/similarities/DFRSimilarity.java:63`,
+    * `BasicModelIn.java`, `AfterEffectL.java`, `NormalizationH2.java`):
+    * `tfn = freq · log2(1 + c·avgdl/dl)`,
+    * `score = boost · log2((N+1)/(df+0.5)) · tfn/(tfn+1)`.
+    * Double precision on quantized doc lengths — SQL-oracle-reproducible. */
+  final case class PreciseDFRInL2(c: Double = 1.0) extends ScoringMode
+  /** Information-based model with log-logistic distribution, document-
+    * frequency lambda and H2 normalization
+    * (`lucene/core/src/java/org/apache/lucene/search/similarities/IBSimilarity.java:53`,
+    * `DistributionLL.java:29`, `LambdaDF.java:26`):
+    * `tfn = freq · log2(1 + c·avgdl/dl)`, `λ = (df+1)/(N+1)`,
+    * `score = boost · ln(1 + tfn/λ)`. SQL-oracle-reproducible. */
+  final case class PreciseIBLL(c: Double = 1.0) extends ScoringMode
+  /** Axiomatic F2-EXP
+    * (`lucene/core/src/java/org/apache/lucene/search/similarities/AxiomaticF2EXP.java:30`):
+    * `score = boost · ((N+1)/df)^k · freq/(freq + s + s·dl/avgdl)`,
+    * defaults `s = 0.5`, `k = 0.35`. SQL-oracle-reproducible. */
+  final case class PreciseAxiomaticF2EXP(s: Double = 0.5, k: Double = 0.35) extends ScoringMode
+  /** Divergence-from-independence with the chi-squared measure
+    * (`lucene/core/src/java/org/apache/lucene/search/similarities/DFISimilarity.java:44`,
+    * `IndependenceChiSquared.java:25`):
+    * `expected = (ttf+1)·dl/(sumTTF+1)`; 0 when `freq ≤ expected`, else
+    * `score = boost · log2(1 + (freq−expected)²/expected)`.
+    * SQL-oracle-reproducible. */
+  final case class PreciseDFIChiSquared() extends ScoringMode
 }
 
 /** Distributed query execution over an [[InvertedIndex]].
@@ -157,14 +184,54 @@ final class Searcher(
     case ScoringMode.PreciseLMJelinekMercer(lambda) =>
       val p = (stats.totalTermFreq + 1.0) / (cs.sumTotalTermFreq + 1.0)
       (freq, dl) => boost * math.log(1 + ((1 - lambda) * freq / dl) / (lambda * p))
+    case ScoringMode.PreciseDFRInL2(c) =>
+      val avgdl = avgdlPrecise
+      val basic = math.log((cs.docCount + 1.0) / (stats.docFreq + 0.5)) / math.log(2)
+      (freq, dl) => {
+        val tfn = freq * (math.log1p(c * avgdl / dl) / math.log(2))
+        boost * basic * tfn / (tfn + 1.0)
+      }
+    case ScoringMode.PreciseIBLL(c) =>
+      val avgdl = avgdlPrecise
+      val lambda = (stats.docFreq + 1.0) / (cs.docCount + 1.0)
+      (freq, dl) => {
+        val tfn = freq * (math.log1p(c * avgdl / dl) / math.log(2))
+        boost * math.log1p(tfn / lambda)
+      }
+    case ScoringMode.PreciseAxiomaticF2EXP(s, k) =>
+      val avgdl = avgdlPrecise
+      val idfPow = math.pow((cs.docCount + 1.0) / stats.docFreq, k)
+      (freq, dl) => boost * idfPow * freq / (freq + s + s * dl / avgdl)
+    case ScoringMode.PreciseDFIChiSquared() =>
+      val expectedPerLen = (stats.totalTermFreq + 1.0) / (cs.sumTotalTermFreq + 1.0)
+      (freq, dl) => {
+        val expected = expectedPerLen * dl
+        if (freq <= expected) 0.0
+        else {
+          val d = freq - expected
+          boost * (math.log1p(d * d / expected) / math.log(2))
+        }
+      }
   }
 
-  /** Upper bound of [[termScorer]] over any posting in a block with the given
-    * (maxFreq, minDlb) impact metadata. Uses the quantized min length, which
-    * decodes to ≤ the true min length, so the bound is conservative. */
-  private def termUpperBound(stats: TermStats, boost: Double): (Int, Byte) => Double = {
+  /** Upper bound of [[termScorer]] over any posting in a block from its
+    * competitive-impact frontier: every posting (freq, dl) is dominated by
+    * some frontier pair (freq' ≥ freq, dl' ≤ dl), and each similarity here is
+    * monotone in freq / antitone in length, so the max frontier score bounds
+    * the block. Tighter than the single (maxFreq, minDlb) pair — the
+    * reference's `ImpactsDISI.getMaxScore` over serialized impacts. */
+  private def termUpperBound(stats: TermStats, boost: Double): (Seq[Int], Array[Byte]) => Double = {
     val f = termScorer(stats, boost)
-    (maxFreq, minDlb) => f(maxFreq, SmallFloat.byte4ToInt(minDlb))
+    (impFreqs, impDlbs) => {
+      var best = 0.0
+      var i = 0
+      while (i < impFreqs.length) {
+        val s = f(impFreqs(i), SmallFloat.byte4ToInt(impDlbs(i)))
+        if (s > best) best = s
+        i += 1
+      }
+      best
+    }
   }
 
   /** Scorer for phrase hits: idf is the sum of the member terms' idfs
@@ -200,9 +267,11 @@ final class Searcher(
       val idfSum = stats.map(s => math.log((cs.docCount + 1) / (s.docFreq + 1.0)) + 1.0).sum
       val weight = boost * idfSum * idfSum
       (freq: Double, dl: Int) => weight * math.sqrt(freq) / math.sqrt(dl.toDouble)
-    case ScoringMode.PreciseLMDirichlet(_) | ScoringMode.PreciseLMJelinekMercer(_) =>
+    case ScoringMode.PreciseLMDirichlet(_) | ScoringMode.PreciseLMJelinekMercer(_) |
+         ScoringMode.PreciseDFRInL2(_) | ScoringMode.PreciseIBLL(_) |
+         ScoringMode.PreciseAxiomaticF2EXP(_, _) | ScoringMode.PreciseDFIChiSquared() =>
       throw new UnsupportedOperationException(
-        "LM phrase statistics are not defined in this engine; use a term query")
+        s"$mode phrase statistics are not defined in this engine; use a term query")
   }
 
   // ------------------------------------------------------------- statistics
@@ -270,9 +339,9 @@ final class Searcher(
   /** Two-pass block-max pruned top-k for a single term (see class doc). */
   private def prunedTermTopK(term: String, ts: TermStats, boost: Double, k: Int): DataFrame = {
     val ub = termUpperBound(ts, boost)
-    val ubUdf = udf((maxFreq: Int, minDlb: Byte) => ub(maxFreq, minDlb))
+    val ubUdf = udf((impFreqs: Seq[Int], impDlbs: Array[Byte]) => ub(impFreqs, impDlbs))
     val blocks = blocksOf(term)
-    val withUb = blocks.withColumn("ub", ubUdf(col("maxFreq"), col("minDlb")))
+    val withUb = blocks.withColumn("ub", ubUdf(col("impFreqs"), col("impDlbs")))
     // pass 1: exact-score the k best blocks by upper bound (≥ k docs since
     // every block is non-empty) → the k-th best real score is a valid
     // conservative threshold for pass 2.
@@ -333,7 +402,8 @@ final class Searcher(
 
     val scorers = present.map(t => t -> termScorer(stats(t), boost)).toMap
     val ubs = present.map(t => t -> termUpperBound(stats(t), boost)).toMap
-    val ubUdf = udf((term: String, maxFreq: Int, minDlb: Byte) => ubs(term)(maxFreq, minDlb))
+    val ubUdf = udf((term: String, impFreqs: Seq[Int], impDlbs: Array[Byte]) =>
+      ubs(term)(impFreqs, impDlbs))
 
     // One metadata-only scan: every block of every query term, with its score
     // upper bound. Blocks stay encoded until pass 2 decodes the survivors.
@@ -341,7 +411,7 @@ final class Searcher(
       .filter(col("term").isin(present: _*))
       .select(col("term"), explode(col("blocks")).as("b"))
       .select(col("term"), col("b.*"))
-      .withColumn("ub", ubUdf(col("term"), col("maxFreq"), col("minDlb")))
+      .withColumn("ub", ubUdf(col("term"), col("impFreqs"), col("impDlbs")))
 
     val maxUb: Map[String, Double] = blocks.groupBy("term").agg(max("ub").as("m"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -351,6 +421,7 @@ final class Searcher(
     def decodeSum(selected: DataFrame): DataFrame = {
       val scored = selected.select(col("term"), struct(
           col("firstDoc"), col("lastDoc"), col("count"), col("maxFreq"), col("minDlb"),
+          col("impFreqs"), col("impDlbs"),
           col("docDeltas"), col("freqs"), col("dlbs"), col("positions")).as("b"))
         .as[(String, PostingBlock)]
         .mapPartitions { it =>

@@ -135,6 +135,39 @@ class PostingsCodecSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("competitive-impact frontier dominates members and tightens the bound") {
+    val sim = BM25Similarity()
+    val cs = CollectionStats(docCount = 10000, sumTotalTermFreq = 4000000)
+    val rnd = new Random(6)
+    (0 until 50).foreach { _ =>
+      val (docs, freqs, doclens) = randomPostings(rnd)
+      val scorer = sim.scorer(1f, cs, TermStats(docs.length.toLong, freqs.map(_.toLong).sum))
+      PostingsCodec.encodeBlocks(docs, freqs, doclens, null).foreach { b =>
+        assert(b.impFreqs.length == b.impDlbs.length)
+        assert(b.impFreqs.nonEmpty && b.impFreqs.length <= PostingsCodec.MaxImpacts)
+        // strictly ascending freqs and lengths (pareto shape)
+        (1 until b.impFreqs.length).foreach { j =>
+          assert(b.impFreqs(j) > b.impFreqs(j - 1))
+          assert(SmallFloat.byte4ToInt(b.impDlbs(j)) > SmallFloat.byte4ToInt(b.impDlbs(j - 1)))
+        }
+        assert(b.impFreqs.last == b.maxFreq)
+        val frontierUb = b.impFreqs.indices
+          .map(j => scorer.score(b.impFreqs(j).toFloat, b.impDlbs(j))).max
+        val looseUb = scorer.score(b.maxFreq.toFloat, b.minDlb)
+        assert(frontierUb <= looseUb + 1e-6f, "frontier bound must not exceed the single-pair bound")
+        val d = PostingsCodec.decodeBlock(b)
+        d.docs.indices.foreach { i =>
+          // every member dominated by some frontier pair
+          assert(b.impFreqs.indices.exists(j =>
+            b.impFreqs(j) >= d.freqs(i) &&
+              SmallFloat.byte4ToInt(b.impDlbs(j)) <= d.doclens(i)))
+          val s = scorer.score(d.freqs(i).toFloat, SmallFloat.intToByte4(d.doclens(i)))
+          assert(s <= frontierUb, s"member score $s > frontier bound $frontierUb")
+        }
+      }
+    }
+  }
 }
 
 /** Port of the reference's similarity property list

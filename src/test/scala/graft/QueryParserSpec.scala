@@ -39,6 +39,13 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p("\"batch\"") == TermQuery("batch"))
   }
 
+  test("phrase slop suffix") {
+    assert(p("\"a b\"~2") == PhraseQuery(Seq("a", "b"), 2))
+    assert(p("\"a b\"~0") == PhraseQuery(Seq("a", "b")))
+    assert(p("\"a b\"~1^2") == BoostQuery(PhraseQuery(Seq("a", "b"), 1), 2f))
+    intercept[QueryParser.ParseException](p("\"a b\"~"))
+  }
+
   test("fuzzy with default and explicit edits") {
     assert(p("spark~") == FuzzyQuery("spark", 2))
     assert(p("spark~1") == FuzzyQuery("spark", 1))

@@ -145,6 +145,25 @@ class SearcherSpec extends AnyFunSuite {
     }
   }
 
+  test("metamorphic: pruned == exhaustive for DFR/IB/Axiomatic/DFI sims") {
+    // the generic upper bound f(maxFreq, minDl) must dominate every posting's
+    // score for each new similarity (monotone in freq, antitone in dl)
+    Seq[ScoringMode](ScoringMode.PreciseDFRInL2(), ScoringMode.PreciseIBLL(),
+        ScoringMode.PreciseAxiomaticF2EXP(), ScoringMode.PreciseDFIChiSquared())
+      .foreach { m =>
+        val pruned = new Searcher(index, m, pruneThreshold = 1L)
+        val plain = new Searcher(index, m, pruneThreshold = Long.MaxValue)
+        Seq("spark", "dup").foreach { term =>
+          val a = pruned.search(TermQuery(term), 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+          val b = plain.scored(TermQuery(term))
+            .orderBy(org.apache.spark.sql.functions.desc("score"),
+              org.apache.spark.sql.functions.asc("docId"))
+            .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+          assert(a.toSeq == b.toSeq, s"pruned != exhaustive for $m / $term")
+        }
+      }
+  }
+
   test("boolean MUST = intersection with summed scores") {
     val got = searcher().scored(BooleanQuery.must(TermQuery("data"), TermQuery("dup"))).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
