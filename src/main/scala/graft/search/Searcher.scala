@@ -409,8 +409,8 @@ final class Searcher(
     // upper bound. Blocks stay encoded until pass 2 decodes the survivors.
     val blocks = index.postings
       .filter(col("term").isin(present: _*))
-      .select(col("term"), explode(col("blocks")).as("b"))
-      .select(col("term"), col("b.*"))
+      .select(col("segmentId"), col("term"), explode(col("blocks")).as("b"))
+      .select(col("segmentId"), col("term"), col("b.*"))
       .withColumn("ub", ubUdf(col("term"), col("impFreqs"), col("impDlbs")))
 
     val maxUb: Map[String, Double] = blocks.groupBy("term").agg(max("ub").as("m"))
@@ -445,14 +445,25 @@ final class Searcher(
     if (probeTop.length < k) return exhaustive()
     val threshold = probeTop.last.getDouble(1)
 
-    // Pass 2: per-term block cutoff tau_t = T - Σ_{t'≠t} maxUb(t').
+    // Pass 2: static per-term block cutoff tau_t = T - Σ_{t'≠t} maxUb(t')
+    // prunes blocks before the shuffle; the survivors are then grouped by
+    // segment (a segment owns its docs' complete postings) and scored by the
+    // in-partition dynamic block-max WAND loop, whose local top-k heap lifts
+    // T into a rising threshold and skips further blocks without decoding.
     val tau: Map[String, Double] = present.map(t => t -> (threshold - (sumMaxUb - maxUb(t)))).toMap
     val tauUdf = udf((term: String) => tau(term))
     val kept = blocks.filter(col("ub") >= tauUdf(col("term")))
-    val agg = decodeSum(kept)
-    val candidates = (if (requireAll) agg.filter(col("cnt") === present.size) else agg)
-      .filter(col("score") >= lit(threshold))
-      .select("docId", "score")
+    val nTerms = present.size
+    val segRows = kept.select(col("segmentId"), col("term"), col("ub"), struct(
+        col("firstDoc"), col("lastDoc"), col("count"), col("maxFreq"), col("minDlb"),
+        col("impFreqs"), col("impDlbs"),
+        col("docDeltas"), col("freqs"), col("dlbs"), col("positions")).as("b"))
+      .as[(Long, String, Double, PostingBlock)]
+    val candidates = segRows.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        Wand.segmentTopK(it.map(r => (r._2, r._3, r._4)), scorers, nTerms,
+          requireAll, threshold, k)
+      }.toDF("docId", "score")
     // materialize the top-k once (driver-side rows) — the completeness check
     // and the result share one execution instead of recomputing the plan
     val top = candidates.orderBy(desc("score"), asc("docId")).limit(k).collect()
