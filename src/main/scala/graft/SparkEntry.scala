@@ -86,6 +86,27 @@ object Indexes {
         }
       IndexBuilder.build(docs, dir, IndexConfig(SimpleAnalyzer, withPositions = false))
     })
+
+  /** Documents index built in TWO snapshot commits: v1 = the even doc ids
+    * (base build), v2 = the odd half appended as a micro-batch. Opening
+    * `asOf = Some(1)` time-travels to the pre-append state; the latest view
+    * is statistically identical to the one-shot build (manifest sums are
+    * namespace-additive). */
+  def snapshottedIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#snap", {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-snap-").toString
+      val all = graft.pipeline.TextOps.parallelized(
+          spark.read.parquet(s"$sfDir/documents.parquet"))
+        .select(col("doc_id").as("docId"), col("text"))
+        .as[InputDoc]
+      IndexBuilder.build(all.filter(_.docId % 2 == 0), dir,
+        IndexConfig(SimpleAnalyzer, withPositions = true))
+      IndexBuilder.appendBatch(all.filter(_.docId % 2 == 1), dir,
+        IndexConfig(SimpleAnalyzer, withPositions = true), segNamespace = 1L << 40)
+      IndexBuilder.commitAppend(spark, dir, 1L << 40)
+      InvertedIndex.open(spark, dir)
+    })
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -394,6 +415,19 @@ object SparkEntry {
     "q66_dfi_chi2" -> ((s, dir) => {
       topk(new Searcher(Indexes.documentsIndex(s, dir), ScoringMode.PreciseDFIChiSquared())
         .scored(TermQuery("spark")), 10)
+    }),
+    "q67_time_travel" -> ((s, dir) => {
+      // snapshot log: open the two-commit index AS OF v1 (before the odd-id
+      // append) — results and statistics must be the even-id-only corpus
+      val snap = Indexes.snapshottedIndex(s, dir) // builds both commits
+      val v1 = InvertedIndex.open(s, snap.dir, asOf = Some(1))
+      topk(new Searcher(v1, ScoringMode.PreciseBM25()).scored(TermQuery("spark")), 10)
+    }),
+    "q68_snapshot_latest" -> ((s, dir) => {
+      // latest snapshot of the same dir sees both commits and is
+      // statistically identical to the one-shot build (same oracle as q01)
+      topk(new Searcher(Indexes.snapshottedIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("spark")), 10)
     })
   ) ++ graft.pipeline.PipelineQueries.queries
 
@@ -455,6 +489,11 @@ object SparkEntry {
     s"""$CTE
        |SELECT doc_id, round(score, 6) AS score FROM ($scoredSql) scored
        |ORDER BY scored.score DESC, doc_id LIMIT $k""".stripMargin
+
+  /** [[CTE]] over a filtered corpus subset — statistics (N, avgdl, df) are
+    * the SUBSET's, exactly what a snapshot-pinned reader computes. */
+  private def cteFiltered(pred: String): String =
+    CTE.replace("FROM documents", s"FROM documents WHERE $pred")
 
   def oracleSql: Map[String, String] = Map(
     "q01_term_bm25" -> topkSql(termScoreSql("spark"), 10),
@@ -1007,5 +1046,15 @@ object SparkEntry {
          |    JOIN dl ON tf.doc_id = dl.doc_id
          |  ) ex
          |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
+,
+    // time travel to snapshot v1 (even doc ids only): scores use the
+    // subset's own statistics, like any reader pinned to that commit did
+    "q67_time_travel" ->
+      s"""${cteFiltered("doc_id % 2 = 0")}
+         |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("spark")}) scored
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // latest snapshot after the append == the full corpus (same as q01)
+    "q68_snapshot_latest" -> topkSql(termScoreSql("spark"), 10)
   ) ++ graft.pipeline.PipelineQueries.oracleSql
 }

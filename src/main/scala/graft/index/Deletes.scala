@@ -41,7 +41,13 @@ object Deletes {
     val reopened = InvertedIndex.open(index.spark, index.dir)
     val (purged, _) = SegmentMerger.merge(reopened, mergedDir, computeMetrics = false)
     IndexBuilder.appendBatch(newVersions, mergedDir, config, segNamespace)
-    IndexBuilder.refreshStats(index.spark, mergedDir)
+    // a purged dir carries no base segment-manifest rows (its doc rows were
+    // rewritten standalone), so stats must aggregate doc rows, not manifests
+    val prior = Snapshots.latest(mergedDir)
+    IndexBuilder.refreshStatsFromDocs(index.spark, mergedDir,
+      version = prior.map(_.version + 1).getOrElse(1))
+    Snapshots.commit(mergedDir, "append",
+      prior.map(_.namespaces).getOrElse(Seq(0L)) :+ segNamespace)
     InvertedIndex.open(index.spark, purged.dir)
   }
 }

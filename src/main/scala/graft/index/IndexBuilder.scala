@@ -133,9 +133,13 @@ object IndexBuilder {
       .option("compression", "zstd")
       .parquet(s"$dir/data")
 
-    refreshStats(spark, dir)
+    // snapshot log: fresh build = v1 over the base namespace; a resumed build
+    // completes the SAME commit, so it must not stack a second version
+    if (!resume) Snapshots.clear(dir)
+    refreshStats(spark, dir, version = 1)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/analyzer"), config.analyzer.name)
+    if (Snapshots.latest(dir).isEmpty) Snapshots.commit(dir, "build", Seq(0L))
 
     InvertedIndex.open(spark, dir)
   }
@@ -169,6 +173,21 @@ object IndexBuilder {
       .parquet(s"$dir/data")
   }
 
+  /** Publish an appended micro-batch: refresh global statistics, then commit
+    * a snapshot whose namespace set is the previous snapshot's plus
+    * `segNamespace` — the Iceberg append commit. Until this runs, the
+    * batch's `batchNs` partition exists on disk but no reader sees it
+    * (snapshot-pinned opens filter to their committed namespaces), which is
+    * what makes the at-least-once `foreachBatch` replay invisible. */
+  private[graft] def commitAppend(spark: SparkSession, dir: String,
+                                  segNamespace: Long): Snapshots.Snapshot = {
+    val prior = Snapshots.latest(dir)
+    val nextVersion = prior.map(_.version + 1).getOrElse(1)
+    refreshStats(spark, dir, version = nextVersion)
+    Snapshots.commit(dir, "append",
+      prior.map(_.namespaces).getOrElse(Seq(0L)) :+ segNamespace)
+  }
+
   /** Diagnostic hook: a raw SegmentFlusher iterator (graft.tools.BuildProbe). */
   private[graft] def flusherFor(cfg: IndexConfig, segNamespace: Long, pid: Int,
                                 docs: Iterator[InputDoc]): Iterator[StageRow] =
@@ -178,32 +197,42 @@ object IndexBuilder {
     * data. The only shuffle of the build; partial (map-side) aggregation makes
     * it skew-proof — a head term contributes one partial count per task, not
     * its postings. */
-  def refreshStats(spark: SparkSession, dir: String): Unit = {
+  def refreshStats(spark: SparkSession, dir: String, version: Int = 0): Unit = {
     import spark.implicits._
     val data = spark.read.parquet(s"$dir/data")
     data.filter($"kind" === 1)
       .groupBy($"term")
       .agg(sum($"df").cast("long").as("df"), sum($"ttf").as("ttf"))
-      .write.mode("overwrite").parquet(s"$dir/term_stats")
+      .write.mode("overwrite").parquet(statsPath(dir, "term_stats", version))
     data.filter($"kind" === 2)
       .agg(sum($"numDocs").as("docCount"), sum($"sumDoclen").as("sumTotalTermFreq"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
+      .write.mode("overwrite").parquet(statsPath(dir, "stats", version))
   }
 
   /** [[refreshStats]] for an index whose doc rows were rewritten without
     * per-segment manifest rows (a purge-merge): collection stats aggregate
     * the kind=0 doc rows (scalar columns only) instead of kind=2 manifests. */
-  private[graft] def refreshStatsFromDocs(spark: SparkSession, dir: String): Unit = {
+  private[graft] def refreshStatsFromDocs(spark: SparkSession, dir: String,
+                                          version: Int = 0): Unit = {
     import spark.implicits._
     val data = spark.read.parquet(s"$dir/data")
     data.filter($"kind" === 1)
       .groupBy($"term")
       .agg(sum($"df").cast("long").as("df"), sum($"ttf").as("ttf"))
-      .write.mode("overwrite").parquet(s"$dir/term_stats")
+      .write.mode("overwrite").parquet(statsPath(dir, "term_stats", version))
     data.filter($"kind" === 0)
       .agg(count(lit(1)).as("docCount"), sum($"doclen").cast("long").as("sumTotalTermFreq"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
+      .write.mode("overwrite").parquet(statsPath(dir, "stats", version))
   }
+
+  /** Statistics tables are IMMUTABLE per snapshot version (`stats/v<N>`) —
+    * refreshing for a new commit never touches the files a reader pinned to
+    * an older snapshot still scans (the Iceberg immutable-metadata rule).
+    * version 0 = legacy unversioned path (pre-snapshot-log dirs). Versioned
+    * tables are SIBLINGS (`stats_v1`), not children, of the legacy path —
+    * a child dir would confuse unversioned parquet directory scans. */
+  private[graft] def statsPath(dir: String, table: String, version: Int): String =
+    if (version <= 0) s"$dir/$table" else s"$dir/${table}_v$version"
 
   /** Per-partition segment accumulator (the DWPT analog). Streams input docs,
     * flushes a segment whenever the doc budget is reached, and emits one
@@ -421,12 +450,24 @@ final class InvertedIndex private (
       * stats are read through the parent chain (segment data is immutable —
       * a merge is a postings rewrite + manifest swap, the Iceberg commit
       * model; no bulk copying of unchanged sections) */
-    val parent: Option[InvertedIndex]) extends Serializable {
+    val parent: Option[InvertedIndex],
+    /** the snapshot this reader is pinned to (None: pre-snapshot-log dirs —
+      * read everything); namespaces fix the visible `batchNs` partitions for
+      * this reader's whole lifetime (snapshot isolation) */
+    val snapshot: Option[Snapshots.Snapshot] = None) extends Serializable {
 
   // Shared plan instances (@transient: an InvertedIndex travels into task
   // closures; DataFrames must not) — one instance per view means a caller's
   // `.cache()` (see [[warm]]) applies to every subsequent query.
-  @transient private lazy val data: DataFrame = spark.read.parquet(s"$dir/data")
+  @transient private lazy val data: DataFrame = {
+    val all = spark.read.parquet(s"$dir/data")
+    snapshot.filter(_.namespaces.nonEmpty) match {
+      // partition pruning on the batchNs directory column — invisible
+      // namespaces are never listed, let alone scanned
+      case Some(s) => all.filter(col("batchNs").isin(s.namespaces: _*))
+      case None => all
+    }
+  }
 
   @transient lazy val postings: DataFrame =
     data.filter(col("kind") === 1)
@@ -445,10 +486,14 @@ final class InvertedIndex private (
           "postingsFlushed", "flushOrdinal")
   }
 
-  /** term statistics are merge-invariant — resolved through the parent chain */
+  /** term statistics are merge-invariant — resolved through the parent
+    * chain. Each snapshot's stats tables are immutable (`term_stats_v<N>`),
+    * so a pinned or time-traveled reader scans exactly the files its commit
+    * wrote, no matter how many later commits refresh the latest stats. */
   @transient lazy val termStats: DataFrame = parent match {
     case Some(p) => p.termStats
-    case None => spark.read.parquet(s"$dir/term_stats")
+    case None => spark.read.parquet(
+      IndexBuilder.statsPath(dir, "term_stats", snapshot.map(_.version).getOrElse(0)))
   }
 
   /** Tombstoned doc ids (`docId` column) pending physical purge, or None.
@@ -502,18 +547,32 @@ object InvertedIndex {
     * per task). This is deliberately NOT set here: a library must not mutate
     * the caller's session conf and silently degrade every other parquet scan
     * in it (ADVICE r1 #2). */
-  def open(spark: SparkSession, dir: String): InvertedIndex = {
+  def open(spark: SparkSession, dir: String): InvertedIndex = open(spark, dir, None)
+
+  /** Open an index pinned to snapshot version `asOf` (time travel), or to
+    * the latest committed snapshot when `asOf` is None. A pinned reader's
+    * visible data partitions never change, no matter how many micro-batches
+    * commit after it opened (snapshot isolation — the Iceberg read model).
+    * Statistics of a time-traveled reader are re-derived from its pinned
+    * partitions, so scores match what a reader at that commit computed. */
+  def open(spark: SparkSession, dir: String, asOf: Option[Int]): InvertedIndex = {
     val parentPath = java.nio.file.Paths.get(s"$dir/parent")
     val parent =
       if (java.nio.file.Files.exists(parentPath))
         Some(open(spark, java.nio.file.Files.readString(parentPath).trim))
       else None
-    val statsDir = parent.map(_.dir).getOrElse(dir)
-    val statsRow = spark.read.parquet(s"$statsDir/stats").collect()(0)
-    val stats = CollectionStats(statsRow.getLong(0), statsRow.getLong(1))
+    val snapshot = asOf match {
+      case Some(v) => Some(Snapshots.read(dir, v))
+      case None => Snapshots.latest(dir)
+    }
     val analyzer = parent.map(_.analyzer).getOrElse(
       Analyzers.byName(java.nio.file.Files.readString(
         java.nio.file.Paths.get(s"$dir/analyzer")).trim))
-    new InvertedIndex(spark, dir, analyzer, stats, parent)
+    val stats = parent.map(_.collectionStats).getOrElse {
+      val statsRow = spark.read.parquet(
+        IndexBuilder.statsPath(dir, "stats", snapshot.map(_.version).getOrElse(0))).collect()(0)
+      CollectionStats(statsRow.getLong(0), statsRow.getLong(1))
+    }
+    new InvertedIndex(spark, dir, analyzer, stats, parent, snapshot)
   }
 }

@@ -209,7 +209,7 @@ object SegmentMerger {
         .parquet(s"$targetDir/data")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$targetDir/analyzer"), index.analyzer.name)
-      IndexBuilder.refreshStatsFromDocs(spark, targetDir)
+      IndexBuilder.refreshStatsFromDocs(spark, targetDir, version = 1)
     } else {
       // Docs, segment manifests and global stats are merge-invariant: the
       // merged index references them through a parent link instead of
@@ -219,6 +219,11 @@ object SegmentMerger {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$targetDir/parent"), index.dir)
     }
+
+    // merge commit in the target dir's snapshot log (history starts fresh in
+    // the rewritten dir; the parent link preserves cross-dir lineage)
+    Snapshots.clear(targetDir)
+    Snapshots.commit(targetDir, if (purge) "purge" else "merge", Seq(0L))
 
     val out = InvertedIndex.open(spark, targetDir)
 

@@ -51,7 +51,10 @@ object StreamingIndexer {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[InputDoc], batchId: Long) =>
         IndexBuilder.appendBatch(batch, dir, config, namespace(batchId))
-        IndexBuilder.refreshStats(spark, dir)
+        // stats refresh + snapshot commit: the batch becomes visible to new
+        // readers only here; snapshot-pinned readers never see it
+        IndexBuilder.commitAppend(spark, dir, namespace(batchId))
+        ()
       }
       .start()
   }
