@@ -79,6 +79,47 @@ object Snapshots {
     snap
   }
 
+  /** Expire all but the newest `keepLast` snapshots — the
+    * `expire_snapshots` maintenance action of the Iceberg model (and the
+    * reference's deletion of superseded `segments_N` generations). Removes
+    * the expired commit files, their per-version stats tables, and any
+    * `batchNs=<ns>` data partition no retained snapshot references (orphan
+    * GC). Time travel to an expired version stops working, by design; the
+    * latest snapshot and every retained one are untouched.
+    *
+    * Single-writer assumption (like `IndexWriter`): must not race an
+    * in-flight commit. Readers already pinned to an expired snapshot keep
+    * working only until its files are deleted — expire when no such readers
+    * remain, exactly Iceberg's contract. */
+  def expire(dir: String, keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "must retain at least the latest snapshot")
+    val all = list(dir)
+    if (all.size <= keepLast) return
+    val (expired, retained) = all.splitAt(all.size - keepLast)
+    val liveNs = retained.flatMap(_.namespaces).toSet
+    val deadNs = expired.flatMap(_.namespaces).toSet -- liveNs
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q))
+        } finally s.close()
+      }
+    expired.foreach { s =>
+      java.nio.file.Files.deleteIfExists(snapDir(dir).resolve(f"v${s.version}%08d.json"))
+      rmTree(java.nio.file.Paths.get(IndexBuilder.statsPath(dir, "term_stats", s.version)))
+      rmTree(java.nio.file.Paths.get(IndexBuilder.statsPath(dir, "stats", s.version)))
+    }
+    // orphaned data partitions: namespaces only expired snapshots referenced
+    deadNs.foreach { ns =>
+      Seq(0, 1, 2).foreach { kind =>
+        rmTree(java.nio.file.Paths.get(s"$dir/data/kind=$kind/batchNs=$ns"))
+      }
+    }
+  }
+
   /** Drop any snapshot log at `dir` (fresh overwrite builds). */
   private[index] def clear(dir: String): Unit = {
     val d = snapDir(dir)

@@ -69,6 +69,28 @@ class SnapshotSpec extends AnyFunSuite {
     assert(CheckIndex.check(tt).isEmpty, "time-traveled view fails CheckIndex")
   }
 
+  test("expire drops old versions, their stats tables, and orphaned partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-exp-").toString
+    val cfg = IndexConfig(SimpleAnalyzer, withPositions = true)
+    IndexBuilder.build(docsOf(_ % 2 == 0), dir, cfg)
+    IndexBuilder.appendBatch(docsOf(_ % 2 == 1), dir, cfg, segNamespace = 1L << 40)
+    IndexBuilder.commitAppend(spark, dir, 1L << 40)
+    val latestBefore = topDocs(InvertedIndex.open(spark, dir))
+
+    Snapshots.expire(dir, keepLast = 1)
+    assert(Snapshots.list(dir).map(_.version) == Seq(2))
+    // v1 stats gone, v2 intact; namespace 0 still referenced by v2, retained
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(IndexBuilder.statsPath(dir, "stats", 1))))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(IndexBuilder.statsPath(dir, "stats", 2))))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/data/kind=0/batchNs=0")))
+    // latest reader unaffected
+    assert(topDocs(InvertedIndex.open(spark, dir)) == latestBefore)
+    intercept[Exception](InvertedIndex.open(spark, dir, asOf = Some(1)))
+  }
+
   test("updateDocuments: purge + re-add keeps statistics and results consistent") {
     val dir = java.nio.file.Files.createTempDirectory("graft-upd-").toString
     val cfg = IndexConfig(SimpleAnalyzer, withPositions = true)
