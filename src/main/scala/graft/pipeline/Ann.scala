@@ -146,6 +146,107 @@ object Ann {
       sigBits.reduce(_ + _).as("bucket"))
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** IVF coarse quantizer: `nlist` k-means centroids trained DETERMINISTICALLY
+    * on a bounded sample (the `sampleSize` lowest-id vectors — no RNG, so
+    * builds are reproducible across runs and cluster sizes), Lloyd's
+    * iterations driver-side. At 100 TB the sample is a tiny pushed-down scan
+    * (`ORDER BY id LIMIT n` → TakeOrdered); training cost is
+    * O(sample · nlist · dim · iters) on the driver, independent of corpus
+    * size — the standard IVF recipe (FAISS coarse quantizer; the flat-list
+    * alternative to a graph index, which immutable columnar storage can't
+    * host efficiently). */
+  def ivfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int, iters: Int = 5, sampleSize: Int = 4096): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = embeddings
+      .orderBy(col(idCol).asc).limit(sampleSize)
+      .select(transform(col(vecCol), _.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty embedding table")
+    val k = math.min(nlist, sample.length)
+    val dim = sample(0).length
+    // deterministic init: evenly strided sample vectors
+    var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c) // empty list keeps its centroid
+        else { val s = sums(c); var d = 0; while (d < dim) { s(d) /= counts(c); d += 1 }; s }
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Index of the max-cosine centroid for `v` (ties → lowest index). */
+  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    val nv = { var s = 0.0; var d = 0; while (d < v.length) { s += v(d) * v(d); d += 1 }; math.sqrt(s) }
+    var c = 0
+    while (c < cs.length) {
+      var s = 0.0; var n2 = 0.0
+      var d = 0
+      while (d < v.length) { s += v(d) * cs(c)(d); n2 += cs(c)(d) * cs(c)(d); d += 1 }
+      val cos = if (n2 == 0 || nv == 0) 0.0 else s / (nv * math.sqrt(n2))
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Assign every vector to its inverted list (broadcast centroids, one
+    * scan): `(id, v, list)`. At scale this is the partitioning key — list
+    * files cluster similar vectors so probes touch few partitions. */
+  def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[Array[Double]]): DataFrame = {
+    val bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Double]) => nearestCentroid(v.toArray, bc.value))
+    embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      assignUdf(transform(col(vecCol), _.cast("double"))).as("list"))
+  }
+
+  /** IVF top-k: rank centroids by query cosine, scan only the `nprobe`
+    * nearest inverted lists, exact-rerank candidates. `nprobe = nlist`
+    * degrades to exact brute force (the gate configuration); smaller nprobe
+    * trades recall for a 1/nlist·nprobe scan fraction — the scale path. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              centroids: Array[Array[Double]] = null): DataFrame = {
+    val cs = if (centroids != null) centroids
+             else ivfCentroids(embeddings, idCol, vecCol, nlist)
+    val assigned = ivfAssign(embeddings, idCol, vecCol, cs)
+    val qv = embeddings.filter(col(idCol) === queryId)
+      .select(transform(col(vecCol), _.cast("double"))).head().getSeq[Double](0).toArray
+    val probes = probeOrder(qv, cs).take(math.min(nprobe, cs.length)).map(Integer.valueOf)
+    val q = array(qv.map(v => lit(v)): _*)
+    assigned
+      .filter(col("id") =!= queryId && col("list").isin(probes: _*))
+      .select(col("id"), cosine(col("v"), q).as("cos"))
+      .orderBy(desc("cos"), col("id").asc)
+      .limit(k)
+  }
+
+  /** Centroid indices by descending query cosine (deterministic tiebreak). */
+  private def probeOrder(q: Array[Double], cs: Array[Array[Double]]): Seq[Int] = {
+    val nv = math.sqrt(q.map(x => x * x).sum)
+    cs.indices.map { c =>
+      var s = 0.0; var n2 = 0.0
+      var d = 0
+      while (d < q.length) { s += q(d) * cs(c)(d); n2 += cs(c)(d) * cs(c)(d); d += 1 }
+      (if (n2 == 0 || nv == 0) 0.0 else s / (nv * math.sqrt(n2)), c)
+    }.sortBy { case (cos, c) => (-cos, c) }.map(_._2)
+  }
+
   /** Approximate top-k neighbors of `queryId`: probe only buckets within
     * `probeHamming` sign-bits of the query's bucket (multi-probe LSH), then
     * exact-rerank the candidates. Sublinear: scans |candidates|, not |corpus|. */

@@ -62,6 +62,15 @@ object PipelineQueries {
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
         .orderBy("a", "b")
     }),
+    "q69_ann_ivf" -> ((s, dir) => {
+      // IVF coarse-quantizer path at full probe (nprobe = nlist): exercises
+      // the train/assign/probe machinery end-to-end with an exact answer —
+      // identical to the brute-force oracle; nprobe < nlist is the
+      // recall-vs-scan-fraction scale path (PipelineSpec)
+      Ann.ivfTopK(embeddings(s, dir), "vec_id", "embedding", queryId = 0L,
+          k = 10, nlist = 8, nprobe = 8)
+        .select(col("id").as("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
     "q22_lang_id" -> ((s, dir) => {
       TextAnalysis.languageId(documents(s, dir), "text")
         .groupBy(col("predicted_lang")).agg(count(lit(1)).as("cnt"))
@@ -178,6 +187,16 @@ object PipelineQueries {
     "q19_dedup_ngram" -> jaccardPairsSql(0.8),
 
     "q20_ann_topk" ->
+      """SELECT vec_id,
+        |       round(list_cosine_similarity(embedding::DOUBLE[],
+        |         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+        |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    // IVF at full probe is exact — same oracle as brute force
+    "q69_ann_ivf" ->
       """SELECT vec_id,
         |       round(list_cosine_similarity(embedding::DOUBLE[],
         |         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cos

@@ -78,6 +78,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN IVF: full probe equals brute force; narrow probe == brute force over probed lists") {
+    val brute = Ann.bruteForceTopK(embs, "vec_id", "embedding", 7L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val cs = Ann.ivfCentroids(embs, "vec_id", "embedding", nlist = 8)
+    val full = Ann.ivfTopK(embs, "vec_id", "embedding", 7L, 10,
+        nlist = 8, nprobe = 8, centroids = cs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute, "full-probe IVF must equal brute force")
+    // deterministic training: same centroids on re-train
+    val cs2 = Ann.ivfCentroids(embs, "vec_id", "embedding", nlist = 8)
+    assert(cs.length == cs2.length && cs.indices.forall(i => cs(i).sameElements(cs2(i))))
+    // narrow probe: exactly brute force restricted to the probed lists
+    val assigned = Ann.ivfAssign(embs, "vec_id", "embedding", cs)
+      .select("id", "list").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val narrow = Ann.ivfTopK(embs, "vec_id", "embedding", 7L, 10,
+        nlist = 8, nprobe = 2, centroids = cs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(narrow.nonEmpty)
+    val probedLists = narrow.map(r => assigned(r._1)).toSet
+    assert(probedLists.size <= 2, "narrow probe must scan at most nprobe lists")
+    // every returned score is the exact cosine (rerank is never approximate)
+    val bruteAll = Ann.bruteForceTopK(embs, "vec_id", "embedding", 7L, embs.count().toInt)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    narrow.foreach { case (id, c) => assert(math.abs(bruteAll(id) - c) < 1e-12) }
+  }
+
   test("tiled exact pairs equal all-pairs cosine (same pairs, same doubles)") {
     val allPairs = Ann.cosinePairs(embs, "vec_id", "embedding", tau = 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
