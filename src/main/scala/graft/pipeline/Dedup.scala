@@ -135,11 +135,14 @@ object Dedup {
     val sh = shingleTable(df, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sgdf = sh.groupBy("sg").agg(count(lit(1)).as("sgdf"))
+    // rank and per-doc shingle count share one doc-partitioned window — the
+    // unordered count rides the same shuffle as the ordered row_number, so
+    // no separate sizes aggregation + join
     val ranked = sh.join(sgdf, "sg")
       .withColumn("rank", row_number().over(
         Window.partitionBy("doc").orderBy(col("sgdf"), col("sg"))))
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("nsh"))
-    val prefix = ranked.join(sizes, "doc")
+      .withColumn("nsh", count(lit(1)).over(Window.partitionBy("doc")))
+    val prefix = ranked
       .filter(col("rank") <= col("nsh") - ceil(lit(tau) * col("nsh")) + 1)
       .select("doc", "sg")
       // both sides of the candidate self-join read this — persist, or the
