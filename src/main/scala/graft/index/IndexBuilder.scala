@@ -456,6 +456,18 @@ final class InvertedIndex private (
       * this reader's whole lifetime (snapshot isolation) */
     val snapshot: Option[Snapshots.Snapshot] = None) extends Serializable {
 
+  /** True when every segment owns the COMPLETE postings (all terms) of the
+    * docs it contains — the per-LeafReaderContext invariant of built and
+    * streamed-append indexes, where a segment is one flusher run over a doc
+    * slice. A MERGE breaks it: merged postings are re-sharded by
+    * (term, salt), so one doc's terms scatter across merged "segments".
+    * Per-segment document-at-a-time scoring ([[graft.search.Wand]]) is only
+    * sound when this holds; merged indexes use the doc-keyed aggregation
+    * path instead. */
+  lazy val docAlignedSegments: Boolean =
+    parent.isEmpty &&
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/merge_manifest"))
+
   // Shared plan instances (@transient: an InvertedIndex travels into task
   // closures; DataFrames must not) — one instance per view means a caller's
   // `.cache()` (see [[warm]]) applies to every subsequent query.

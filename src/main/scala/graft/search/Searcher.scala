@@ -446,24 +446,36 @@ final class Searcher(
     val threshold = probeTop.last.getDouble(1)
 
     // Pass 2: static per-term block cutoff tau_t = T - Σ_{t'≠t} maxUb(t')
-    // prunes blocks before the shuffle; the survivors are then grouped by
-    // segment (a segment owns its docs' complete postings) and scored by the
-    // in-partition dynamic block-max WAND loop, whose local top-k heap lifts
-    // T into a rising threshold and skips further blocks without decoding.
+    // prunes blocks before the shuffle. When segments own their docs'
+    // complete postings (built/streamed indexes), the survivors are grouped
+    // by segment and scored by the in-partition dynamic block-max WAND loop,
+    // whose local top-k heap lifts T into a rising threshold and skips
+    // further blocks without decoding. Merged indexes re-shard postings by
+    // (term, salt) — one doc's terms scatter across "segments", so the
+    // per-segment DAAT sums would be partial; they take the doc-keyed
+    // aggregation path (still statically pruned) instead.
     val tau: Map[String, Double] = present.map(t => t -> (threshold - (sumMaxUb - maxUb(t)))).toMap
     val tauUdf = udf((term: String) => tau(term))
     val kept = blocks.filter(col("ub") >= tauUdf(col("term")))
     val nTerms = present.size
-    val segRows = kept.select(col("segmentId"), col("term"), col("ub"), struct(
-        col("firstDoc"), col("lastDoc"), col("count"), col("maxFreq"), col("minDlb"),
-        col("impFreqs"), col("impDlbs"),
-        col("docDeltas"), col("freqs"), col("dlbs"), col("positions")).as("b"))
-      .as[(Long, String, Double, PostingBlock)]
-    val candidates = segRows.groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        Wand.segmentTopK(it.map(r => (r._2, r._3, r._4)), scorers, nTerms,
-          requireAll, threshold, k)
-      }.toDF("docId", "score")
+    val candidates =
+      if (index.docAlignedSegments) {
+        val segRows = kept.select(col("segmentId"), col("term"), col("ub"), struct(
+            col("firstDoc"), col("lastDoc"), col("count"), col("maxFreq"), col("minDlb"),
+            col("impFreqs"), col("impDlbs"),
+            col("docDeltas"), col("freqs"), col("dlbs"), col("positions")).as("b"))
+          .as[(Long, String, Double, PostingBlock)]
+        segRows.groupByKey(_._1)
+          .flatMapGroups { (_, it) =>
+            Wand.segmentTopK(it.map(r => (r._2, r._3, r._4)), scorers, nTerms,
+              requireAll, threshold, k)
+          }.toDF("docId", "score")
+      } else {
+        val agg = decodeSum(kept)
+        (if (requireAll) agg.filter(col("cnt") === nTerms) else agg)
+          .filter(col("score") >= lit(threshold))
+          .select("docId", "score")
+      }
     // materialize the top-k once (driver-side rows) — the completeness check
     // and the result share one execution instead of recomputing the plan
     val top = candidates.orderBy(desc("score"), asc("docId")).limit(k).collect()

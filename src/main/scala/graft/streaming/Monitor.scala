@@ -52,13 +52,18 @@ object Monitor {
       doc.terms.exists { t =>
         lo.forall(l => if (il) t >= l else t > l) && hi.forall(h => if (ih) t <= h else t < h)
       }
-    case PhraseQuery(ts, slop) =>
-      require(slop == 0, "monitor phrase matching is exact (slop=0)")
+    case PhraseQuery(ts, 0) =>
       ts.forall(doc.has) && {
         val arrays = ts.map(doc.positions).toArray
         arrays(0).exists(p0 => arrays.indices.tail.forall(i =>
           java.util.Arrays.binarySearch(arrays(i), p0 + i) >= 0))
       }
+    case PhraseQuery(ts, slop) =>
+      // sloppy phrase: matched iff the engine's greedy minimal-interval
+      // enumeration yields at least one in-slop match (same matcher as the
+      // scored path, so percolate ≡ search on match/no-match)
+      ts.forall(doc.has) &&
+        SloppyMatcher.sloppyFreq(ts.map(doc.positions).toArray, slop) > 0.0
     case MultiPhraseQuery(ps) =>
       ps.forall(_.exists(doc.has)) && {
         val byIdx = ps.map(alts =>
@@ -97,6 +102,79 @@ object Monitor {
     case other =>
       throw new UnsupportedOperationException(
         s"monitor does not support query type ${other.getClass.getSimpleName}")
+  }
+
+  /** Guard terms of a query: a set such that EVERY matching document must
+    * contain at least one of them, or None when no such set exists (pure
+    * negations, match-all, term-expansion predicates). The presearcher
+    * contract of the reference's `TermFilteredPresearcher`
+    * (`lucene/monitor/src/java/org/apache/lucene/monitor/TermFilteredPresearcher.java:62`):
+    * rules are bucketed by guard term once, and a document only evaluates
+    * rules whose guard intersects its token set — matching cost scales with
+    * the document's CANDIDATE rules, not the registered-rule count.
+    *
+    * Soundness by case: a conjunction may pick any single required clause's
+    * guard (we take the first guardable one); a disjunction needs the union
+    * of ALL branches' guards and is unguardable if any branch is. */
+  def guardTerms(q: Query): Option[Set[String]] = q match {
+    case TermQuery(t) => Some(Set(t))
+    case SynonymQuery(ts) => Some(ts.toSet)
+    case TermInSetQuery(ts) => Some(ts)
+    case PhraseQuery(ts, _) => ts.headOption.map(Set(_)) // all required: any one guards
+    case MultiPhraseQuery(ps) => ps.headOption.map(_.toSet)
+    case SpanNearQuery(ts, _, _) => ts.headOption.map(Set(_))
+    case IntervalQuery(src) => Some(src.terms) // every leaf mode needs ≥1 of them
+    case BoostQuery(inner, _) => guardTerms(inner)
+    case ConstantScoreQuery(inner) => guardTerms(inner)
+    case DisjunctionMaxQuery(ds, _) =>
+      val gs = ds.map(guardTerms)
+      if (gs.forall(_.isDefined)) Some(gs.flatMap(_.get).toSet) else None
+    case BooleanQuery(clauses, msm) =>
+      val positives = clauses.collect { case (Occur.MUST, c) => c } ++
+        clauses.collect { case (Occur.FILTER, c) => c }
+      val firstGuarded = positives.iterator.map(guardTerms).collectFirst { case Some(g) => g }
+      firstGuarded.orElse {
+        val should = clauses.collect { case (Occur.SHOULD, c) => c }
+        // only sound when ≥1 SHOULD clause must match
+        if (should.nonEmpty && (positives.isEmpty || msm >= 1)) {
+          val gs = should.map(guardTerms)
+          if (gs.forall(_.isDefined)) Some(gs.flatMap(_.get).toSet) else None
+        } else None
+      }
+    case _ => None // MatchAll, fuzzy/prefix/wildcard/regexp/range expansions, negations
+  }
+
+  /** [[percolate]] with the guard-term presearcher: rules bucketed by guard
+    * term (broadcast), each doc evaluates only `unguarded ∪ rules-whose-guard-
+    * intersects-its-terms`. Identical output to the brute loop (spec-checked);
+    * the win is per-doc candidate count at rule sets ≥ ~10^4. */
+  def percolatePresearched(docs: Dataset[(Long, String)], queries: Seq[(String, Query)],
+                           analyzer: Analyzer): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val guarded = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+    val unguarded = scala.collection.mutable.ArrayBuffer.empty[Int]
+    queries.zipWithIndex.foreach { case ((_, q), i) =>
+      guardTerms(q) match {
+        case Some(g) if g.nonEmpty => g.foreach(t => guarded.getOrElseUpdate(t, scala.collection.mutable.ArrayBuffer.empty) += i)
+        case _ => unguarded += i
+      }
+    }
+    val bc = spark.sparkContext.broadcast(
+      (queries.toIndexedSeq, guarded.view.mapValues(_.toArray).toMap, unguarded.toArray, analyzer))
+    docs.flatMap { case (id, text) =>
+      val (qs, byTerm, always, an) = bc.value
+      val view = new DocView(an.tokenize(text))
+      val cand = new java.util.TreeSet[Integer]()
+      always.foreach(i => cand.add(i))
+      view.terms.foreach(t => byTerm.get(t).foreach(_.foreach(i => cand.add(i))))
+      val out = Vector.newBuilder[(Long, String)]
+      cand.forEach { i =>
+        val (qid, q) = qs(i)
+        if (matches(q, view)) out += ((id, qid))
+      }
+      out.result()
+    }.toDF("docId", "queryId")
   }
 
   private def levenshtein(a: String, b: String): Int = {

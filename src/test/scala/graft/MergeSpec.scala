@@ -49,6 +49,28 @@ class MergeSpec extends AnyFunSuite {
     assert(violations.isEmpty, violations.take(5).mkString("; "))
   }
 
+  test("pruned boolean top-k is exact on a MERGED index (doc-alignment fallback)") {
+    // merged postings are re-sharded by (term, salt): one doc's terms live in
+    // different merged "segments", so the per-segment WAND loop would sum
+    // partial scores — the searcher must detect this and take the doc-keyed
+    // aggregation path (regression test for that detection)
+    val (merged, _) = mergedPair
+    assert(fragmented.docAlignedSegments, "built index should be doc-aligned")
+    assert(!merged.docAlignedSegments, "merged index must NOT be doc-aligned")
+    val pruned = new Searcher(merged, ScoringMode.PreciseBM25(), pruneThreshold = 1L)
+    val plain = new Searcher(merged, ScoringMode.PreciseBM25(), pruneThreshold = Long.MaxValue)
+    Seq(Seq("spark", "data"), Seq("the", "dup", "vector")).foreach { ts =>
+      Seq(true, false).foreach { conj =>
+        val q = BooleanQuery(ts.map(t =>
+          (if (conj) Occur.MUST else Occur.SHOULD) -> TermQuery(t)))
+        val a = pruned.search(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val b = plain.search(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(a.map(_._1) == b.map(_._1), s"pruned-on-merged != exhaustive for $ts conj=$conj")
+        a.zip(b).foreach { case ((_, sa), (_, sb)) => assert(math.abs(sa - sb) < 1e-9) }
+      }
+    }
+  }
+
   test("metamorphic: identical query results before and after merge") {
     val (merged, _) = mergedPair
     val a = new Searcher(fragmented, ScoringMode.PreciseBM25())

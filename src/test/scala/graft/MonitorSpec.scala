@@ -21,6 +21,9 @@ class MonitorSpec extends AnyFunSuite {
     "bool_not" -> BooleanQuery(Seq(
       Occur.MUST -> TermQuery("dup"), Occur.MUST_NOT -> TermQuery("spark"))),
     "phrase" -> PhraseQuery(Seq("batch", "batch")),
+    "sloppy_phrase" -> PhraseQuery(Seq("vector", "stream"), slop = 2),
+    "interval" -> IntervalQuery(Intervals.MaxWidth(4,
+      Intervals.Ordered(Seq(Intervals.Term("group"), Intervals.Term("key"))))),
     "prefix" -> PrefixQuery("st"),
     "wildcard" -> WildcardQuery("qu?ry"),
     "fuzzy" -> FuzzyQuery("spark", 2),
@@ -45,6 +48,29 @@ class MonitorSpec extends AnyFunSuite {
       assert(got.getOrElse(name, Set.empty) == want,
         s"query '$name': percolate=${got.getOrElse(name, Set.empty).size} index=${want.size}")
     }
+  }
+
+  test("presearched percolation == brute percolation (incl. unguardable rules)") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+    // add unguardable rules so the always-evaluate path is exercised
+    val rules = registered ++ Seq(
+      "uPrefix" -> PrefixQuery("st"),
+      "uNeg" -> BooleanQuery(Seq(Occur.MUST -> TermQuery("dup"),
+        Occur.MUST_NOT -> TermQuery("spark"))))
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(toSet(Monitor.percolatePresearched(docs, rules, SimpleAnalyzer)) ==
+      toSet(Monitor.percolate(docs, rules, SimpleAnalyzer)))
+    // guard extraction soundness spot checks
+    assert(Monitor.guardTerms(TermQuery("a")) == Some(Set("a")))
+    assert(Monitor.guardTerms(PhraseQuery(Seq("a", "b"), 2)) == Some(Set("a")))
+    assert(Monitor.guardTerms(BooleanQuery.must(TermQuery("a"), TermQuery("b"))) == Some(Set("a")))
+    assert(Monitor.guardTerms(BooleanQuery(Seq(
+      Occur.SHOULD -> TermQuery("a"), Occur.SHOULD -> PrefixQuery("b")))).isEmpty)
+    assert(Monitor.guardTerms(PrefixQuery("x")).isEmpty)
   }
 
   test("streaming percolation emits the same matches per micro-batch") {
