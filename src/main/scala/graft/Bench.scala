@@ -179,6 +179,13 @@ object Bench {
       }.sorted
       val p50 = lat(lat.size / 2)
       val p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
+      // batched mode: the SAME query set as ONE postings pass — the
+      // throughput shape where the distributed engine wins (vs per-query
+      // scheduling floors); unsupported shapes fall back internally
+      val tb = System.nanoTime()
+      val batchRows = searcher.searchBatch(
+        queries.zipWithIndex.map { case (q, i) => (s"q$i", q) }, 10).count()
+      val batchSec = (System.nanoTime() - tb) / 1e9
       spark3.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -190,7 +197,8 @@ object Bench {
         f""""docs_per_sec_n2":$dps2%.0f,"docs_per_sec_n8":$dpsN%.0f,"docs_per_sec_n32":$dps4N%.0f,""" +
         f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_n8_n32_hw_bound":$effHw%.3f,""" +
         s""""evidence_n2":{$ev2},"evidence_n8":{$evN},"evidence_n32":{$ev4N}},""" +
-        f""""bm25_topk":{"n_queries":${lat.size},"p50_ms":$p50%.0f,"p95_ms":$p95%.0f}"""
+        f""""bm25_topk":{"n_queries":${lat.size},"p50_ms":$p50%.0f,"p95_ms":$p95%.0f,""" +
+        f""""batch_all_sec":$batchSec%.2f,"batch_rows":$batchRows}"""
     }
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson}"""

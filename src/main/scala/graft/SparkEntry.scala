@@ -416,6 +416,9 @@ object SparkEntry {
       topk(new Searcher(Indexes.documentsIndex(s, dir), ScoringMode.PreciseDFIChiSquared())
         .scored(TermQuery("spark")), 10)
     }),
+    "q70_spell" -> ((s, dir) => {
+      Suggester.spell(Indexes.documentsIndex(s, dir), "sparc", 8)
+    }),
     "q67_time_travel" -> ((s, dir) => {
       // snapshot log: open the two-commit index AS OF v1 (before the odd-id
       // append) — results and statistics must be the even-id-only corpus
@@ -1047,6 +1050,17 @@ object SparkEntry {
          |  ) ex
          |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
 ,
+    // "did you mean": dictionary terms within 2 edits, by (dist, df desc)
+    "q70_spell" ->
+      s"""$CTE, dict AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+         |)
+         |SELECT term, levenshtein(term, 'sparc') AS dist, df AS weight
+         |FROM dict
+         |WHERE term <> 'sparc' AND abs(length(term) - 5) <= 2
+         |  AND levenshtein(term, 'sparc') <= 2
+         |ORDER BY dist, weight DESC, term LIMIT 8""".stripMargin,
+
     // time travel to snapshot v1 (even doc ids only): scores use the
     // subset's own statistics, like any reader pinned to that commit did
     "q67_time_travel" ->

@@ -1050,6 +1050,94 @@ final class Searcher(
     }
   }
 
+  /** Batched top-k for a SET of queries in one postings pass — the
+    * throughput shape a distributed columnar engine wins at (the reference
+    * runs queries one at a time per searcher thread; here N queries cost one
+    * scan + one aggregation, not N jobs).
+    *
+    * Supported shapes: TermQuery and flat same-occur MUST/SHOULD booleans of
+    * TermQuery (optionally boosted) — the high-QPS head of real workloads.
+    * Anything else falls back to per-query [[search]] and is unioned in.
+    *
+    * Plan: ONE scan of postings filtered to the union of all queries' terms
+    * (term-dictionary pushdown), per-(term, doc) scores computed once, then
+    * a broadcast join against the tiny (queryId, term, boost, nTerms) plan
+    * table fans each term-doc row out to the queries that want it;
+    * sum-aggregate by (queryId, docId); MUST queries keep docs carrying all
+    * their terms; per-query top-k is one doc-partitioned window. Output:
+    * `(queryId, docId, score, rank)`, rank 1..k per query. */
+  def searchBatch(queries: Seq[(String, Query)], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    final case class Plan(queryId: String, term: String, boost: Double,
+                          nTerms: Int, requireAll: Boolean)
+    val plans = Vector.newBuilder[Plan]
+    val fallback = Vector.newBuilder[(String, Query)]
+    queries.foreach { case (qid, q0) =>
+      QueryRewriter.rewrite(q0) match {
+        case TermQuery(t) => plans += Plan(qid, t, 1.0, 1, requireAll = false)
+        case BoostQuery(TermQuery(t), b) => plans += Plan(qid, t, b, 1, requireAll = false)
+        case BooleanQuery(clauses, msm)
+            if msm <= 1 && clauses.nonEmpty &&
+              clauses.forall(_._2.isInstanceOf[TermQuery]) &&
+              (clauses.forall(_._1 == Occur.SHOULD) || clauses.forall(_._1 == Occur.MUST)) =>
+          val ts = clauses.map(_._2.asInstanceOf[TermQuery].term).distinct
+          val requireAll = clauses.head._1 == Occur.MUST
+          ts.foreach(t => plans += Plan(qid, t, 1.0, ts.size, requireAll))
+        case other => fallback += ((qid, other))
+      }
+    }
+    val planRows = plans.result()
+    val batched: Option[DataFrame] =
+      if (planRows.isEmpty) None
+      else {
+        val allTerms = planRows.map(_.term).distinct
+        val stats = lookupStats(allTerms.toSet)
+        val present = allTerms.filter(stats.contains)
+        // (term, docId, base score) — each term's postings decoded ONCE for
+        // the whole batch, boost applied after the broadcast fan-out
+        val scorers = present.map(t => t -> termScorer(stats(t), 1.0)).toMap
+        val termDoc = index.postings
+          .filter(col("term").isin(present: _*))
+          .select(col("term"), explode(col("blocks")).as("b"))
+          .as[(String, PostingBlock)]
+          .mapPartitions { it =>
+            it.flatMap { case (t, b) =>
+              val f = scorers(t)
+              val d = PostingsCodec.decodeBlock(b)
+              Iterator.tabulate(d.docs.length)(i => (t, d.docs(i), f(d.freqs(i), d.doclens(i))))
+            }
+          }.toDF("term", "docId", "base")
+        val planDf = spark.createDataFrame(planRows.map(p =>
+          (p.queryId, p.term, p.boost, p.nTerms, p.requireAll)))
+          .toDF("queryId", "term", "boost", "nTerms", "requireAll")
+        val perQueryDoc = termDoc
+          .join(broadcast(planDf), "term")
+          .groupBy(col("queryId"), col("docId"))
+          .agg(sum(col("base") * col("boost")).as("score"),
+            org.apache.spark.sql.functions.count(lit(1)).as("cnt"),
+            first(col("nTerms")).as("nTerms"),
+            first(col("requireAll")).as("requireAll"))
+          .filter(!col("requireAll") || col("cnt") === col("nTerms"))
+        val w = Window.partitionBy("queryId").orderBy(desc("score"), asc("docId"))
+        Some(perQueryDoc
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("queryId"), col("docId"), col("score"), col("rank").cast("long").as("rank")))
+      }
+    // conjunctions whose terms are absent: requireAll + missing stats yields
+    // no rows, matching search(); fallback shapes run individually
+    val fallbackDf = fallback.result().map { case (qid, q) =>
+      val w = Window.partitionBy("queryId").orderBy(desc("score"), asc("docId"))
+      search(q, k).withColumn("queryId", lit(qid))
+        .withColumn("rank", row_number().over(w))
+        .select(col("queryId"), col("docId"), col("score"), col("rank").cast("long").as("rank"))
+    }
+    (batched.toSeq ++ fallbackDf).reduceOption(_ unionAll _)
+      .getOrElse(spark.emptyDataset[(String, Long, Double, Long)]
+        .toDF("queryId", "docId", "score", "rank"))
+  }
+
   /** Keyset pagination: top-k strictly after a previous (score, docId) anchor
     * (`lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java:576`). */
   def searchAfter(q: Query, k: Int, afterScore: Double, afterDocId: Long): DataFrame =

@@ -21,4 +21,22 @@ object Suggester {
       .select(col("term"), col("df").cast("long").as("weight"))
       .orderBy(desc("weight"), asc("term"))
       .limit(k)
+
+  /** "Did you mean" — the reference's `DirectSpellChecker` shape
+    * (`lucene/suggest/src/java/org/apache/lucene/search/spell/DirectSpellChecker.java:37`):
+    * dictionary terms within `maxEdits` Levenshtein distance of `word`,
+    * ranked by (distance asc, df desc, term asc). One scan of the Zipf-small
+    * term dictionary with Spark's codegen'd `levenshtein` — never the
+    * postings; the length pre-filter (|len−|word|| ≤ maxEdits) prunes the
+    * scan before the quadratic edit-distance kernel runs. */
+  def spell(index: InvertedIndex, word: String, k: Int, maxEdits: Int = 2): DataFrame =
+    index.termStats
+      .filter(abs(length(col("term")) - lit(word.length)) <= maxEdits &&
+        col("term") =!= word)
+      .withColumn("dist", levenshtein(col("term"), lit(word)))
+      .filter(col("dist") <= maxEdits)
+      .select(col("term"), col("dist").cast("long").as("dist"),
+        col("df").cast("long").as("weight"))
+      .orderBy(asc("dist"), desc("weight"), asc("term"))
+      .limit(k)
 }

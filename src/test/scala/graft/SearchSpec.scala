@@ -164,6 +164,29 @@ class SearcherSpec extends AnyFunSuite {
       }
   }
 
+  test("searchBatch == per-query search for every supported and fallback shape") {
+    val qs: Seq[(String, Query)] = Seq(
+      "t1" -> TermQuery("spark"),
+      "t2" -> TermQuery("dup"),
+      "boosted" -> BoostQuery(TermQuery("query"), 2.5f),
+      "or" -> BooleanQuery.should(TermQuery("vector"), TermQuery("stream")),
+      "and" -> BooleanQuery.must(TermQuery("data"), TermQuery("dup")),
+      "and_absent" -> BooleanQuery.must(TermQuery("spark"), TermQuery("zzznothere")),
+      "or_absent" -> BooleanQuery.should(TermQuery("spark"), TermQuery("zzznothere")),
+      "phrase_fallback" -> PhraseQuery(Seq("data", "filter")))
+    val got = searcher().searchBatch(qs, 10).collect()
+      .map(r => (r.getString(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    qs.foreach { case (qid, q) =>
+      val want = searcher().search(q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val gotQ = (1 to want.size).map(rank => got((qid, rank.toLong)))
+      assert(gotQ.map(_._1) == want.map(_._1), s"$qid doc ids")
+      gotQ.zip(want).foreach { case ((_, sa), (_, sb)) =>
+        assert(math.abs(sa - sb) < 1e-9, s"$qid scores") }
+      assert(!got.keys.exists(k => k._1 == qid && k._2 > want.size), s"$qid extra rows")
+    }
+  }
+
   test("boolean MUST = intersection with summed scores") {
     val got = searcher().scored(BooleanQuery.must(TermQuery("data"), TermQuery("dup"))).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
