@@ -87,6 +87,22 @@ object Indexes {
       IndexBuilder.build(docs, dir, IndexConfig(SimpleAnalyzer, withPositions = false))
     })
 
+  /** Documents indexed through a bigram [[ShingleAnalyzer]]: the vocabulary
+    * is adjacent token pairs, doc length = shingle count — index-time phrase
+    * acceleration (a shingled TermQuery answers what a positional
+    * PhraseQuery computes at query time). */
+  def shingleIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#shingle", {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-shingle-").toString
+      val docs = graft.pipeline.TextOps.parallelized(
+          spark.read.parquet(s"$sfDir/documents.parquet"))
+        .select(col("doc_id").as("docId"), col("text"))
+        .as[InputDoc]
+      IndexBuilder.build(docs, dir,
+        IndexConfig(ShingleAnalyzer(SimpleAnalyzer, 2), withPositions = false))
+    })
+
   /** Documents index built in TWO snapshot commits: v1 = the even doc ids
     * (base build), v2 = the odd half appended as a micro-batch. Opening
     * `asOf = Some(1)` time-travels to the pre-append state; the latest view
@@ -418,6 +434,12 @@ object SparkEntry {
     }),
     "q70_spell" -> ((s, dir) => {
       Suggester.spell(Indexes.documentsIndex(s, dir), "sparc", 8)
+    }),
+    "q71_shingle" -> ((s, dir) => {
+      // index-time bigram shingles: one TermQuery on the shingle vocabulary
+      // answers an adjacent-pair phrase — no positions decoded at query time
+      docSet(new Searcher(Indexes.shingleIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("batch batch")))
     }),
     "q67_time_travel" -> ((s, dir) => {
       // snapshot log: open the two-commit index AS OF v1 (before the odd-id
@@ -1050,6 +1072,14 @@ object SparkEntry {
          |  ) ex
          |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
 ,
+    // bigram-shingle index: TermQuery("batch batch") == adjacent-pair scan
+    "q71_shingle" ->
+      s"""$CTE
+         |SELECT DISTINCT a.doc_id FROM toks a
+         |JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |WHERE a.term = 'batch' AND b.term = 'batch'
+         |ORDER BY a.doc_id""".stripMargin,
+
     // "did you mean": dictionary terms within 2 edits, by (dist, df desc)
     "q70_spell" ->
       s"""$CTE, dict AS (

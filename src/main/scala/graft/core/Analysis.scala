@@ -47,6 +47,9 @@ object Analyzers {
     case "standard"       => StandardLikeAnalyzer()
     case "simple-en-stop" => SimpleStopAnalyzer(EnglishStopWords)
     case "english"        => EnglishAnalyzer()
+    case "folding"        => AsciiFoldingAnalyzer()
+    case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
+      ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)
     case other            => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
 }
@@ -255,4 +258,103 @@ object HtmlStrip extends Serializable {
     }
     -1
   }
+}
+
+/** Unicode→ASCII folding — the shape of the reference's `ASCIIFoldingFilter`
+  * (`lucene/analysis/common/src/java/org/apache/lucene/analysis/miscellaneous/ASCIIFoldingFilter.java:74`):
+  * accented Latin characters fold to their ASCII base. The reference carries
+  * a generated 3,000-case switch; this uses the standard public technique —
+  * NFD canonical decomposition + combining-mark strip — plus the handful of
+  * Latin ligatures/special letters NFD does not decompose. Applied AFTER the
+  * inner analyzer so positions are inherited unchanged. */
+final case class AsciiFoldingAnalyzer(inner: Analyzer = SimpleUnicodeAnalyzer)
+    extends Analyzer {
+  override val name = "folding"
+  override def tokenize(text: String): IndexedSeq[Token] =
+    inner.tokenize(text).map(t => Token(AsciiFolding.fold(t.term), t.position))
+}
+
+object AsciiFolding {
+  private val Specials = Map(
+    'æ' -> "ae", 'Æ' -> "AE", 'œ' -> "oe", 'Œ' -> "OE", 'ß' -> "ss",
+    'ø' -> "o", 'Ø' -> "O", 'đ' -> "d", 'Đ' -> "D", 'ł' -> "l", 'Ł' -> "L",
+    'þ' -> "th", 'Þ' -> "TH", 'ð' -> "d", 'Ð' -> "D", 'ħ' -> "h", 'Ħ' -> "H")
+
+  def fold(s: String): String = {
+    val pre = {
+      val b = new StringBuilder(s.length)
+      s.foreach(c => Specials.get(c) match {
+        case Some(r) => b.append(r)
+        case None => b.append(c)
+      })
+      b.toString
+    }
+    val decomposed = java.text.Normalizer.normalize(pre, java.text.Normalizer.Form.NFD)
+    val out = new StringBuilder(decomposed.length)
+    decomposed.foreach { c =>
+      if (Character.getType(c) != Character.NON_SPACING_MARK) out.append(c)
+    }
+    out.toString
+  }
+}
+
+/** Lowercased maximal letter/digit runs over the FULL Unicode alphabet (the
+  * folding chain needs non-ASCII letters to survive tokenization, which
+  * [[SimpleAnalyzer]]'s ASCII-only runs would drop). */
+object SimpleUnicodeAnalyzer extends Analyzer {
+  override val name = "simple-unicode"
+  override def tokenize(text: String): IndexedSeq[Token] = {
+    val lower = text.toLowerCase
+    val out = Vector.newBuilder[Token]
+    val n = lower.length
+    var i = 0
+    var pos = 0
+    while (i < n) {
+      if (Character.isLetterOrDigit(lower.charAt(i))) {
+        val start = i
+        while (i < n && Character.isLetterOrDigit(lower.charAt(i))) i += 1
+        out += Token(lower.substring(start, i), pos)
+        pos += 1
+      } else i += 1
+    }
+    out.result()
+  }
+}
+
+/** Index-time token n-grams — the reference's `ShingleFilter`
+  * (`lucene/analysis/common/src/java/org/apache/lucene/analysis/shingle/ShingleFilter.java:42`)
+  * with `outputUnigrams=false` and a single shingle size: each emitted term
+  * is `size` consecutive inner tokens joined by one space, positioned at its
+  * first member's position. Doc length becomes the shingle count, making
+  * per-doc statistics well-defined for scoring over the shingle vocabulary. */
+final case class ShingleAnalyzer(inner: Analyzer, size: Int) extends Analyzer {
+  require(size >= 2, "shingle size must be >= 2")
+  override val name = s"shingle-$size"
+  override def tokenize(text: String): IndexedSeq[Token] = {
+    val ts = inner.tokenize(text)
+    // shingles only span ADJACENT positions (a stop-filtered gap breaks the
+    // window, like the reference's position-increment handling)
+    (0 to ts.length - size).iterator.flatMap { i =>
+      if (ts(i + size - 1).position - ts(i).position == size - 1)
+        Some(Token(ts.slice(i, i + size).map(_.term).mkString(" "), ts(i).position))
+      else None
+    }.toVector.zipWithIndex.map { case (t, dense) => Token(t.term, dense) }
+  }
+}
+
+/** Character n-grams of each inner token — the reference's `NGramTokenFilter`
+  * (`lucene/analysis/common/src/java/org/apache/lucene/analysis/ngram/NGramTokenFilter.java:48`):
+  * every gram of length `minGram..maxGram` per token, all at the token's
+  * position (position increment 0 within a token). */
+final case class NGramAnalyzer(inner: Analyzer = SimpleAnalyzer,
+                               minGram: Int = 2, maxGram: Int = 3) extends Analyzer {
+  require(minGram >= 1 && maxGram >= minGram)
+  override val name = s"ngram-$minGram-$maxGram"
+  override def tokenize(text: String): IndexedSeq[Token] =
+    inner.tokenize(text).flatMap { t =>
+      for {
+        len <- minGram to math.min(maxGram, t.term.length)
+        start <- 0 to t.term.length - len
+      } yield Token(t.term.substring(start, start + len), t.position)
+    }
 }

@@ -233,6 +233,43 @@ class SimilaritySpec extends AnyFunSuite {
 }
 
 class AnalysisSpec extends AnyFunSuite {
+  test("ascii folding: accents fold, ligatures expand, positions survive") {
+    assert(AsciiFolding.fold("café") == "cafe")
+    assert(AsciiFolding.fold("Ångström") == "Angstrom")
+    assert(AsciiFolding.fold("œuvre straße") == "oeuvre strasse")
+    assert(AsciiFolding.fold("łódź") == "lodz")
+    assert(AsciiFolding.fold("plain ascii-42") == "plain ascii-42")
+    val toks = AsciiFoldingAnalyzer().tokenize("Café crème, №2")
+    assert(toks.map(_.term) == Seq("cafe", "creme", "2"))
+    assert(toks.map(_.position) == Seq(0, 1, 2))
+  }
+
+  test("shingle analyzer: adjacent token n-grams, dense output positions") {
+    val a = ShingleAnalyzer(SimpleAnalyzer, 2)
+    assert(a.tokenize("fast scan join").map(_.term) == Seq("fast scan", "scan join"))
+    assert(a.tokenize("fast scan join").map(_.position) == Seq(0, 1))
+    assert(a.tokenize("one").isEmpty)
+    val tri = ShingleAnalyzer(SimpleAnalyzer, 3)
+    assert(tri.tokenize("a b c d").map(_.term) == Seq("a b c", "b c d"))
+    // a stop-filtered gap breaks the shingle window
+    val stopped = ShingleAnalyzer(SimpleStopAnalyzer(Set("the")), 2)
+    assert(stopped.tokenize("fast the scan").map(_.term) == Seq())
+    assert(stopped.tokenize("fast scan the").map(_.term) == Seq("fast scan"))
+  }
+
+  test("ngram analyzer: all grams in range at the source token's position") {
+    val a = NGramAnalyzer(SimpleAnalyzer, 2, 3)
+    val toks = a.tokenize("abcd")
+    assert(toks.map(_.term) == Seq("ab", "bc", "cd", "abc", "bcd"))
+    assert(toks.map(_.position).forall(_ == 0))
+    assert(NGramAnalyzer(SimpleAnalyzer, 2, 3).tokenize("x").isEmpty)
+  }
+
+  test("analyzer registry round-trips the new names") {
+    assert(Analyzers.byName("folding").name == "folding")
+    assert(Analyzers.byName("shingle-2") == ShingleAnalyzer(SimpleAnalyzer, 2))
+  }
+
   test("simple analyzer: lowercase alnum runs with consecutive positions") {
     val toks = SimpleAnalyzer.tokenize("The fast-scan, 3.14 JOINs!")
     assert(toks.map(_.term) == Seq("the", "fast", "scan", "3", "14", "joins"))
