@@ -1070,24 +1070,55 @@ final class Searcher(
     import org.apache.spark.sql.expressions.Window
 
     final case class Plan(queryId: String, term: String, boost: Double,
-                          nTerms: Int, requireAll: Boolean)
+                          nTerms: Int, requireAll: Boolean, const: Boolean)
     val plans = Vector.newBuilder[Plan]
+    val expansions = Vector.newBuilder[(String, Query)]
     val fallback = Vector.newBuilder[(String, Query)]
     queries.foreach { case (qid, q0) =>
       QueryRewriter.rewrite(q0) match {
-        case TermQuery(t) => plans += Plan(qid, t, 1.0, 1, requireAll = false)
-        case BoostQuery(TermQuery(t), b) => plans += Plan(qid, t, b, 1, requireAll = false)
+        case TermQuery(t) => plans += Plan(qid, t, 1.0, 1, requireAll = false, const = false)
+        case BoostQuery(TermQuery(t), b) => plans += Plan(qid, t, b, 1, requireAll = false, const = false)
         case BooleanQuery(clauses, msm)
             if msm <= 1 && clauses.nonEmpty &&
               clauses.forall(_._2.isInstanceOf[TermQuery]) &&
               (clauses.forall(_._1 == Occur.SHOULD) || clauses.forall(_._1 == Occur.MUST)) =>
           val ts = clauses.map(_._2.asInstanceOf[TermQuery].term).distinct
           val requireAll = clauses.head._1 == Occur.MUST
-          ts.foreach(t => plans += Plan(qid, t, 1.0, ts.size, requireAll))
+          ts.foreach(t => plans += Plan(qid, t, 1.0, ts.size, requireAll, const = false))
+        case e @ (_: PrefixQuery | _: TermRangeQuery | _: TermInSetQuery |
+                  _: FuzzyQuery | _: RegexpQuery) =>
+          expansions += ((qid, e))
         case other => fallback += ((qid, other))
       }
     }
-    val planRows = plans.result()
+    // Expansion queries: ONE dictionary scan evaluates every query's term
+    // predicate (array-of-structs + higher-order filter), yielding the
+    // (queryId, matched term) pairs — the batched IntersectTermsEnum. Each
+    // pair joins the same postings pass as the scored plans, scored
+    // constant (per doc, not per matched term). Queries whose expansion
+    // exceeds the broadcast-safe cap fall back to per-query search.
+    val ExpansionCap = 4096
+    val expansionRows: Seq[Plan] = {
+      val exp = expansions.result()
+      if (exp.isEmpty) Nil
+      else {
+        val arr = array(exp.map { case (qid, q) =>
+          struct(lit(qid).as("qid"), expansionPred(q).as("m")) }: _*)
+        val matched = index.termStats
+          .select(col("term"),
+            explode(org.apache.spark.sql.functions.filter(arr, s => s.getField("m"))).as("x"))
+          .select(col("x.qid").as("qid"), col("term"))
+          .collect().map(r => (r.getString(0), r.getString(1)))
+        val byQ = matched.groupBy(_._1)
+        val (ok, tooWide) = exp.partition { case (qid, _) =>
+          byQ.getOrElse(qid, Array.empty).length <= ExpansionCap }
+        tooWide.foreach(fallback += _)
+        val okIds = ok.map(_._1).toSet
+        matched.collect { case (qid, t) if okIds(qid) =>
+          Plan(qid, t, 1.0, 1, requireAll = false, const = true) }.toSeq
+      }
+    }
+    val planRows = plans.result() ++ expansionRows
     val batched: Option[DataFrame] =
       if (planRows.isEmpty) None
       else {
@@ -1109,16 +1140,21 @@ final class Searcher(
             }
           }.toDF("term", "docId", "base")
         val planDf = spark.createDataFrame(planRows.map(p =>
-          (p.queryId, p.term, p.boost, p.nTerms, p.requireAll)))
-          .toDF("queryId", "term", "boost", "nTerms", "requireAll")
+          (p.queryId, p.term, p.boost, p.nTerms, p.requireAll, p.const)))
+          .toDF("queryId", "term", "boost", "nTerms", "requireAll", "const")
         val perQueryDoc = termDoc
           .join(broadcast(planDf), "term")
           .groupBy(col("queryId"), col("docId"))
-          .agg(sum(col("base") * col("boost")).as("score"),
+          .agg(sum(col("base") * col("boost")).as("sumScore"),
             org.apache.spark.sql.functions.count(lit(1)).as("cnt"),
             first(col("nTerms")).as("nTerms"),
-            first(col("requireAll")).as("requireAll"))
+            first(col("requireAll")).as("requireAll"),
+            first(col("const")).as("const"),
+            first(col("boost")).as("boost0"))
           .filter(!col("requireAll") || col("cnt") === col("nTerms"))
+          // constant-score (expansion) queries score the DOC, not the sum of
+          // its matched terms — exactly expansionTopK's contract
+          .withColumn("score", when(col("const"), col("boost0")).otherwise(col("sumScore")))
         val w = Window.partitionBy("queryId").orderBy(desc("score"), asc("docId"))
         Some(perQueryDoc
           .withColumn("rank", row_number().over(w))

@@ -173,6 +173,12 @@ class SearcherSpec extends AnyFunSuite {
       "and" -> BooleanQuery.must(TermQuery("data"), TermQuery("dup")),
       "and_absent" -> BooleanQuery.must(TermQuery("spark"), TermQuery("zzznothere")),
       "or_absent" -> BooleanQuery.should(TermQuery("spark"), TermQuery("zzznothere")),
+      "prefix" -> PrefixQuery("st"),
+      "range" -> TermRangeQuery(Some("agg"), Some("batch"), true, true),
+      "inset" -> TermInSetQuery(Set("spark", "vector", "stream")),
+      "fuzzy" -> FuzzyQuery("spark", 2),
+      "regexp" -> RegexpQuery("(fast|slow)"),
+      "prefix_absent" -> PrefixQuery("zzz"),
       "phrase_fallback" -> PhraseQuery(Seq("data", "filter")))
     val got = searcher().searchBatch(qs, 10).collect()
       .map(r => (r.getString(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
