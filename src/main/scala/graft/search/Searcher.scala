@@ -1073,6 +1073,7 @@ final class Searcher(
                           nTerms: Int, requireAll: Boolean, const: Boolean)
     val plans = Vector.newBuilder[Plan]
     val expansions = Vector.newBuilder[(String, Query)]
+    val phrases = Vector.newBuilder[(String, Seq[String], Int)]
     val fallback = Vector.newBuilder[(String, Query)]
     queries.foreach { case (qid, q0) =>
       QueryRewriter.rewrite(q0) match {
@@ -1088,6 +1089,9 @@ final class Searcher(
         case e @ (_: PrefixQuery | _: TermRangeQuery | _: TermInSetQuery |
                   _: FuzzyQuery | _: RegexpQuery) =>
           expansions += ((qid, e))
+        case PhraseQuery(ts, slop) if ts.size >= 2 &&
+            (slop == 0 || ts.distinct.size == ts.size) =>
+          phrases += ((qid, ts, slop))
         case other => fallback += ((qid, other))
       }
     }
@@ -1155,11 +1159,90 @@ final class Searcher(
           // constant-score (expansion) queries score the DOC, not the sum of
           // its matched terms — exactly expansionTopK's contract
           .withColumn("score", when(col("const"), col("boost0")).otherwise(col("sumScore")))
+        Some(perQueryDoc.select(col("queryId"), col("docId"), col("score")))
+      }
+    // Positional queries batch through their own single scan: every phrase
+    // term's positions decoded ONCE, slot plan fanned out by broadcast join,
+    // per-(query, doc) freq = the same exact/sloppy enumeration the
+    // per-query path uses. Queries with an absent term yield no rows, like
+    // phraseFrame's emptyFrame.
+    val phraseScored: Option[DataFrame] = {
+      val ps = phrases.result()
+      if (ps.isEmpty) None
+      else {
+        val pstats = lookupStats(ps.flatMap(_._2).toSet)
+        val live = ps.filter(_._2.forall(pstats.contains))
+        if (live.isEmpty) None
+        else {
+          val meta: Map[String, (Int, Int, (Double, Int) => Double)] =
+            live.map { case (qid, ts, slop) =>
+              qid -> ((slop, ts.size, phraseScorer(ts.map(pstats), 1.0)))
+            }.toMap
+          val slotRows = live.flatMap { case (qid, ts, _) =>
+            ts.zipWithIndex.map { case (t, slot) => (qid, t, slot) } }
+          val pterms = slotRows.map(_._2).distinct
+          val posRows = index.postings
+            .filter(col("term").isin(pterms: _*))
+            .select(col("term"), explode(col("blocks")).as("b"))
+            .as[(String, PostingBlock)]
+            .mapPartitions { it =>
+              it.flatMap { case (t, b) =>
+                val d = PostingsCodec.decodeBlock(b, withPositions = true)
+                Iterator.tabulate(d.docs.length)(i =>
+                  (t, d.docs(i), d.doclens(i), d.positions(i).toSeq))
+              }
+            }.toDF("term", "docId", "doclen", "positions")
+          val slotDf = spark.createDataFrame(slotRows).toDF("queryId", "term", "slot")
+          val nSlotsDf = spark.createDataFrame(
+            live.map { case (qid, ts, _) => (qid, ts.size) }).toDF("queryId", "nSlots")
+          val bcMeta = spark.sparkContext.broadcast(meta)
+          val scoreUdf = udf((qid: String, plists: Seq[org.apache.spark.sql.Row], dl: Int) => {
+            val (slop, nSlots, scorer) = bcMeta.value(qid)
+            val arrays = plists.sortBy(_.getInt(0)).map(_.getSeq[Int](1).toArray).toArray
+            // Catalyst may reorder this UDF before the cnt==nSlots filter
+            // (UDFs are assumed deterministic & cheap): bail on partial rows
+            if (arrays.length != nSlots) -1.0
+            else {
+            val freq: Double =
+              if (slop == 0) {
+                var count = 0
+                val base = arrays.head
+                var i = 0
+                while (i < base.length) {
+                  val p0 = base(i)
+                  var ok = true
+                  var j = 1
+                  while (ok && j < arrays.length) {
+                    if (java.util.Arrays.binarySearch(arrays(j), p0 + j) < 0) ok = false
+                    j += 1
+                  }
+                  if (ok) count += 1
+                  i += 1
+                }
+                count.toDouble
+              } else SloppyMatcher.sloppyFreq(arrays, slop)
+            if (freq > 0) scorer(freq, dl) else -1.0
+            }
+          })
+          Some(posRows.join(broadcast(slotDf), "term")
+            .groupBy(col("queryId"), col("docId"))
+            .agg(first(col("doclen")).as("doclen"),
+              org.apache.spark.sql.functions.count(lit(1)).as("cnt"),
+              collect_list(struct(col("slot"), col("positions"))).as("plists"))
+            .join(broadcast(nSlotsDf), "queryId")
+            .filter(col("cnt") === col("nSlots"))
+            .select(col("queryId"), col("docId"),
+              scoreUdf(col("queryId"), col("plists"), col("doclen")).as("score"))
+            .filter(col("score") > -0.5))
+        }
+      }
+    }
+    val batchScored = (batched.toSeq ++ phraseScored.toSeq).reduceOption(_ unionAll _)
+      .map { scoredAll =>
         val w = Window.partitionBy("queryId").orderBy(desc("score"), asc("docId"))
-        Some(perQueryDoc
-          .withColumn("rank", row_number().over(w))
+        scoredAll.withColumn("rank", row_number().over(w))
           .filter(col("rank") <= k)
-          .select(col("queryId"), col("docId"), col("score"), col("rank").cast("long").as("rank")))
+          .select(col("queryId"), col("docId"), col("score"), col("rank").cast("long").as("rank"))
       }
     // conjunctions whose terms are absent: requireAll + missing stats yields
     // no rows, matching search(); fallback shapes run individually
@@ -1169,7 +1252,7 @@ final class Searcher(
         .withColumn("rank", row_number().over(w))
         .select(col("queryId"), col("docId"), col("score"), col("rank").cast("long").as("rank"))
     }
-    (batched.toSeq ++ fallbackDf).reduceOption(_ unionAll _)
+    (batchScored.toSeq ++ fallbackDf).reduceOption(_ unionAll _)
       .getOrElse(spark.emptyDataset[(String, Long, Double, Long)]
         .toDF("queryId", "docId", "score", "rank"))
   }

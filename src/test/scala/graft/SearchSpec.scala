@@ -179,7 +179,11 @@ class SearcherSpec extends AnyFunSuite {
       "fuzzy" -> FuzzyQuery("spark", 2),
       "regexp" -> RegexpQuery("(fast|slow)"),
       "prefix_absent" -> PrefixQuery("zzz"),
-      "phrase_fallback" -> PhraseQuery(Seq("data", "filter")))
+      "phrase" -> PhraseQuery(Seq("data", "filter")),
+      "phrase_repeat" -> PhraseQuery(Seq("batch", "batch")),
+      "phrase_sloppy" -> PhraseQuery(Seq("vector", "stream"), slop = 2),
+      "phrase_absent" -> PhraseQuery(Seq("data", "zzznothere")),
+      "mphrase_fallback" -> MultiPhraseQuery(Seq(Seq("fast", "slow"), Seq("join", "scan"))))
     val got = searcher().searchBatch(qs, 10).collect()
       .map(r => (r.getString(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
     qs.foreach { case (qid, q) =>
