@@ -1130,17 +1130,24 @@ final class Searcher(
         val stats = lookupStats(allTerms.toSet)
         val present = allTerms.filter(stats.contains)
         // (term, docId, base score) — each term's postings decoded ONCE for
-        // the whole batch, boost applied after the broadcast fan-out
+        // the whole batch, boost applied after the broadcast fan-out. Terms
+        // wanted ONLY by constant-score queries take the docs-only decode
+        // (delta chain only; freqs/norms untouched — the expansion fast path)
         val scorers = present.map(t => t -> termScorer(stats(t), 1.0)).toMap
+        val sumTerms = planRows.iterator.filter(!_.const).map(_.term).toSet
         val termDoc = index.postings
           .filter(col("term").isin(present: _*))
           .select(col("term"), explode(col("blocks")).as("b"))
           .as[(String, PostingBlock)]
           .mapPartitions { it =>
             it.flatMap { case (t, b) =>
-              val f = scorers(t)
-              val d = PostingsCodec.decodeBlock(b)
-              Iterator.tabulate(d.docs.length)(i => (t, d.docs(i), f(d.freqs(i), d.doclens(i))))
+              if (sumTerms.contains(t)) {
+                val f = scorers(t)
+                val d = PostingsCodec.decodeBlock(b)
+                Iterator.tabulate(d.docs.length)(i => (t, d.docs(i), f(d.freqs(i), d.doclens(i))))
+              } else {
+                PostingsCodec.decodeDocIds(b).iterator.map(doc => (t, doc, 1.0))
+              }
             }
           }.toDF("term", "docId", "base")
         val planDf = spark.createDataFrame(planRows.map(p =>
