@@ -56,6 +56,24 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzed pruned boolean top-k == exhaustive (random terms, occur, k)") {
+    val pruned = new Searcher(index, ScoringMode.PreciseBM25(), pruneThreshold = 1L)
+    val plain = new Searcher(index, ScoringMode.PreciseBM25(), pruneThreshold = Long.MaxValue)
+    val rnd = new Random(424242)
+    (0 until 25).foreach { i =>
+      val n = 2 + rnd.nextInt(3)
+      val ts = (0 until n).map(_ => term(rnd)).distinct
+      val occ = if (rnd.nextBoolean()) Occur.MUST else Occur.SHOULD
+      val k = Seq(1, 3, 10)(rnd.nextInt(3))
+      val q = BooleanQuery(ts.map(t => occ -> TermQuery(t)))
+      val a = pruned.search(q, k).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = plain.search(q, k).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a.map(_._1) == b.map(_._1), s"fuzz-pruned #$i: $occ $ts k=$k")
+      a.zip(b).foreach { case ((_, sa), (_, sb)) =>
+        assert(math.abs(sa - sb) < 1e-9, s"fuzz-pruned #$i score: $occ $ts k=$k") }
+    }
+  }
+
   test("searcher doc set == per-doc evaluator on 120 random query trees") {
     val searcher = new Searcher(index, ScoringMode.PreciseBM25())
     val rnd = new Random(20260817)
