@@ -129,8 +129,17 @@ object Bench {
     // ---- phase 1: driver-harness operator queries
     var qs = "{}"
     var total = 0.0
+    var prepSec = 0.0
     if (doQueries) {
       val spark1 = session(cpus, cpus)
+      // build the shared documents index up front so per-query seconds
+      // measure the QUERY, not whichever query happens to run first in the
+      // per-process Indexes cache; variant-index builds (stop/title/deletes/
+      // snapshot/shingle) stay attributed to their gate queries — that build
+      // IS those operators' cost
+      val tPrep = System.nanoTime()
+      Indexes.documentsIndex(spark1, sfDir)
+      prepSec = (System.nanoTime() - tPrep) / 1e9
       val results = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark1, sfDir).count() } catch { case _: Throwable => -1L }
@@ -141,7 +150,9 @@ object Bench {
       SparkSession.clearDefaultSession()
       qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-      total = if (results.nonEmpty) results.values.sum else 0.0
+      // total keeps the r1 semantics (shared-index build included) — the
+      // prep split is reported separately for per-query readability
+      total = prepSec + (if (results.nonEmpty) results.values.sum else 0.0)
     }
 
     var scalingJson = ""
@@ -201,7 +212,7 @@ object Bench {
         f""""batch_all_sec":$batchSec%.2f,"batch_rows":$batchRows}"""
     }
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson}"""
+    val json = f"""{"metric":"total","value":$total,"unit":"sec","prep_sec":$prepSec%.2f,"queries":$qs,"sf":"$sfDir"$scalingJson}"""
     // sbt's [info]/[error] stdout prefixes broke driver parsing of r1; the
     // file copy is the machine-readable channel
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
