@@ -1066,7 +1066,13 @@ final class Searcher(
     * sum-aggregate by (queryId, docId); MUST queries keep docs carrying all
     * their terms; per-query top-k is one doc-partitioned window. Output:
     * `(queryId, docId, score, rank)`, rank 1..k per query. */
-  def searchBatch(queries: Seq[(String, Query)], k: Int): DataFrame = {
+  def searchBatch(queries: Seq[(String, Query)], k: Int,
+                  /** expansion/positional queries only join the shared scans
+                    * when at least this many share one (below it, their
+                    * per-query block-pruned paths beat an unpruned shared
+                    * scan — measured on the 60-query reference set); scored
+                    * term/boolean shapes always batch */
+                  minSharedScan: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     final case class Plan(queryId: String, term: String, boost: Double,
@@ -1093,6 +1099,20 @@ final class Searcher(
             (slop == 0 || ts.distinct.size == ts.size) =>
           phrases += ((qid, ts, slop))
         case other => fallback += ((qid, other))
+      }
+    }
+    // Adaptive routing: below minSharedScan, expansion/positional queries
+    // run their per-query block-pruned paths (faster — pruning beats scan
+    // sharing at small counts); at volume they join the shared passes.
+    locally {
+      val exp = expansions.result()
+      if (exp.size < minSharedScan) { exp.foreach(fallback += _); expansions.clear() }
+    }
+    locally {
+      val ph = phrases.result()
+      if (ph.size < minSharedScan) {
+        ph.foreach { case (qid, ts, slop) => fallback += ((qid, PhraseQuery(ts, slop))) }
+        phrases.clear()
       }
     }
     // Expansion queries: ONE dictionary scan evaluates every query's term
