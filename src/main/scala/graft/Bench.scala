@@ -48,14 +48,7 @@ object Bench {
     s
   }
 
-  private def rmTree(path: String): Unit = {
-    import java.nio.file._
-    val root = Paths.get(path)
-    if (Files.exists(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-    }
-  }
+  private def rmTree(path: String): Unit = graft.tools.Rm.rmTree(path)
 
   /** Per-build task-level evidence: achieved parallelism, CPU/GC fractions,
     * volume written — enough to tell "the job stopped scaling" apart from

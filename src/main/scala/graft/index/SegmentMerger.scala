@@ -204,6 +204,10 @@ object SegmentMerger {
         .filter(col("kind") === 0)
         .join(broadcast(delDf), col("docId") === col("delId"), "left_anti")
         .drop("delId")
+        // rewritten rows all belong to the merged base namespace — keeping
+        // the SOURCE batchNs would hide appended docs from the purged dir's
+        // snapshot (which names only namespace 0)
+        .withColumn("batchNs", lit(0L))
         .write.mode("append").partitionBy("kind", "batchNs")
         .option("compression", "zstd")
         .parquet(s"$targetDir/data")

@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
 object Highlighter {
 
   def highlight(docs: DataFrame, idCol: String, textCol: String,
-                terms: Set[String], window: Int): DataFrame = {
+                terms: Set[String], window: Int,
+                /** must match the analyzer of the index the query terms came
+                  * from — stemmed/stopped/folded query terms only hit tokens
+                  * produced by the SAME chain */
+                analyzer: graft.core.Analyzer = graft.core.SimpleAnalyzer): DataFrame = {
     val hlUdf = udf((text: String) => {
-      val toks = graft.core.SimpleAnalyzer.tokenize(text).map(_.term).toArray
+      val toks = analyzer.tokenize(text).map(_.term).toArray
       var best = -1
       var bestScore = 0
       var p = 0

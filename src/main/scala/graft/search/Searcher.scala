@@ -387,9 +387,13 @@ final class Searcher(
   private def prunedBooleanTopK(
       terms: Seq[String], stats: Map[String, TermStats], boost: Double, k: Int,
       requireAll: Boolean): DataFrame = {
+    // duplicate clauses contribute multiplicatively (every scorer here is
+    // linear in boost, so multiplicity folds into the per-term boost —
+    // matches the exhaustive path's summed duplicate frames)
+    val mult: Map[String, Int] = terms.groupBy(identity).map { case (t, g) => t -> g.size }
     val present = terms.distinct.filter(stats.contains)
     val exhaustive = () => {
-      val frames = present.map(t => termFrame(t, stats, boost))
+      val frames = present.map(t => termFrame(t, stats, boost * mult(t)))
       val u = if (requireAll) frames.reduce(sumJoin) else disjunction(frames, 1)
       u.orderBy(desc("score"), asc("docId")).limit(k)
     }
@@ -397,11 +401,11 @@ final class Searcher(
     if (present.isEmpty) return emptyFrame
     if (present.size == 1) {
       val t = present.head
-      return prunedTermTopK(t, stats(t), boost, k)
+      return prunedTermTopK(t, stats(t), boost * mult(t), k)
     }
 
-    val scorers = present.map(t => t -> termScorer(stats(t), boost)).toMap
-    val ubs = present.map(t => t -> termUpperBound(stats(t), boost)).toMap
+    val scorers = present.map(t => t -> termScorer(stats(t), boost * mult(t))).toMap
+    val ubs = present.map(t => t -> termUpperBound(stats(t), boost * mult(t))).toMap
     val ubUdf = udf((term: String, impFreqs: Seq[Int], impDlbs: Array[Byte]) =>
       ubs(term)(impFreqs, impDlbs))
 
@@ -522,7 +526,8 @@ final class Searcher(
     * overlap and (b) row-filtered by membership — BEFORE any positions are
     * decoded or shuffled, so a phrase containing one head term no longer
     * ships the head term's entire positional postings into the group-by. */
-  private def rarestDocSet(terms: Seq[String], stats: Map[String, TermStats]): Option[(String, Array[Long])] = {
+  private def rarestDocSet(terms: Seq[String], stats: Map[String, TermStats])
+      : Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]])] = {
     val rarest = terms.minBy(t => stats(t).docFreq)
     if (stats(rarest).docFreq > LeapfrogMaxDf || terms.distinct.size < 2) None
     else {
@@ -530,17 +535,20 @@ final class Searcher(
         .mapPartitions(it => it.flatMap(b => PostingsCodec.decodeDocIds(b).iterator))
         .collect()
       java.util.Arrays.sort(docs)
-      Some((rarest, docs))
+      // broadcast ONCE per query — every non-rarest term's block filter and
+      // the row-level membership check reuse the same handle (an n-term
+      // phrase would otherwise ship n copies of a multi-MB doc set)
+      Some((rarest, spark.sparkContext.broadcast(docs)))
     }
   }
 
   /** Block-prune + row-filter a term's positional scan by the rarest term's
     * doc set (no-op for the rarest term itself). */
-  private def leapfrogged(term: String, lead: Option[(String, Array[Long])]): Dataset[PostingBlock] = {
+  private def leapfrogged(term: String,
+      lead: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]])]): Dataset[PostingBlock] = {
     val base = blocksOf(term)
     lead match {
-      case Some((rarest, sorted)) if term != rarest =>
-        val bcSorted = spark.sparkContext.broadcast(sorted)
+      case Some((rarest, bcSorted)) if term != rarest =>
         val overlaps = udf { (first: Long, last: Long) =>
           val a = bcSorted.value
           var i = java.util.Arrays.binarySearch(a, first)
@@ -552,9 +560,9 @@ final class Searcher(
     }
   }
 
-  private def inLeadSet(lead: Option[(String, Array[Long])]): Long => Boolean = lead match {
-    case Some((_, sorted)) =>
-      val bc = spark.sparkContext.broadcast(sorted)
+  private def inLeadSet(
+      lead: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]])]): Long => Boolean = lead match {
+    case Some((_, bc)) =>
       id => java.util.Arrays.binarySearch(bc.value, id) >= 0
     case None => _ => true
   }
@@ -672,14 +680,15 @@ final class Searcher(
     // alternatives' doc-set union bounds every match
     val leadAlts = positions.map(_.filter(stats.contains))
       .minBy(_.map(t => stats(t).docFreq).sum)
-    val lead: Option[(String, Array[Long])] =
+    val lead: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]])] =
       if (leadAlts.map(t => stats(t).docFreq).sum > LeapfrogMaxDf || positions.size < 2) None
       else {
         val docs = leadAlts.map { t =>
           blocksOf(t).mapPartitions(it => it.flatMap(b => PostingsCodec.decodeDocIds(b).iterator)).collect()
         }.reduce(_ ++ _).distinct
         java.util.Arrays.sort(docs)
-        Some((" lead", docs)) // sentinel name: no real term skips the filter
+        // sentinel name: no real term skips the filter; one shared broadcast
+        Some((" lead", spark.sparkContext.broadcast(docs)))
       }
     val member = inLeadSet(lead)
     val perPos = positions.zipWithIndex.map { case (alts, i) =>
@@ -820,9 +829,16 @@ final class Searcher(
     val pred =
       if (!dictFirst) termPred
       else {
-        val matched = index.termStats.filter(termPred).select("term").as[String].collect()
+        // bounded collect: a degenerate predicate (`/.*/`) over a large
+        // vocabulary must not pull millions of terms into the driver or a
+        // million-literal isin into the plan — past the cap, evaluate the
+        // predicate on the (more numerous) postings rows instead
+        val cap = 65536
+        val matched = index.termStats.filter(termPred).select("term").as[String]
+          .limit(cap + 1).collect()
         if (matched.isEmpty) return None
-        col("term").isin(matched.toSeq: _*)
+        if (matched.length > cap) termPred
+        else col("term").isin(matched.toSeq: _*)
       }
     Some(index.postings
       .filter(pred)
@@ -1082,16 +1098,23 @@ final class Searcher(
     val phrases = Vector.newBuilder[(String, Seq[String], Int)]
     val fallback = Vector.newBuilder[(String, Query)]
     queries.foreach { case (qid, q0) =>
-      QueryRewriter.rewrite(q0) match {
+      // pending deletes: the shared scans read postings directly and would
+      // return tombstoned docs — route through search(), which anti-joins
+      // liveDocs (same policy as the pruned paths under deletions)
+      if (tombstones.isDefined) fallback += ((qid, q0))
+      else QueryRewriter.rewrite(q0) match {
         case TermQuery(t) => plans += Plan(qid, t, 1.0, 1, requireAll = false, const = false)
         case BoostQuery(TermQuery(t), b) => plans += Plan(qid, t, b, 1, requireAll = false, const = false)
         case BooleanQuery(clauses, msm)
             if msm <= 1 && clauses.nonEmpty &&
               clauses.forall(_._2.isInstanceOf[TermQuery]) &&
               (clauses.forall(_._1 == Occur.SHOULD) || clauses.forall(_._1 == Occur.MUST)) =>
-          val ts = clauses.map(_._2.asInstanceOf[TermQuery].term).distinct
+          val tsAll = clauses.map(_._2.asInstanceOf[TermQuery].term)
+          // duplicate clauses fold into the boost (scorers are boost-linear)
+          val mult = tsAll.groupBy(identity).map { case (t, g) => t -> g.size }
+          val ts = tsAll.distinct
           val requireAll = clauses.head._1 == Occur.MUST
-          ts.foreach(t => plans += Plan(qid, t, 1.0, ts.size, requireAll, const = false))
+          ts.foreach(t => plans += Plan(qid, t, mult(t).toDouble, ts.size, requireAll, const = false))
         case e @ (_: PrefixQuery | _: TermRangeQuery | _: TermInSetQuery |
                   _: FuzzyQuery | _: RegexpQuery) =>
           expansions += ((qid, e))

@@ -61,7 +61,12 @@ object Monitor {
     case PhraseQuery(ts, slop) =>
       // sloppy phrase: matched iff the engine's greedy minimal-interval
       // enumeration yields at least one in-slop match (same matcher as the
-      // scored path, so percolate ≡ search on match/no-match)
+      // scored path, so percolate ≡ search on match/no-match). The matcher's
+      // preconditions mirror sloppyPhraseFrame's: ≥ 2 pairwise-distinct
+      // terms — reject unsupported rules instead of mis-matching them
+      if (ts.size < 2 || ts.distinct.size != ts.size)
+        throw new UnsupportedOperationException(
+          "sloppy phrases need >= 2 pairwise-distinct terms (use slop=0 for repeats)")
       ts.forall(doc.has) &&
         SloppyMatcher.sloppyFreq(ts.map(doc.positions).toArray, slop) > 0.0
     case MultiPhraseQuery(ps) =>

@@ -52,12 +52,5 @@ object LatencyProbe {
     rmTree(dir)
   }
 
-  private def rmTree(path: String): Unit = {
-    import java.nio.file._
-    val root = Paths.get(path)
-    if (Files.exists(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-    }
-  }
+  private def rmTree(path: String): Unit = Rm.rmTree(path)
 }

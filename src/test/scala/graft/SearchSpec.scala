@@ -202,6 +202,45 @@ class SearcherSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate boolean clauses: every path agrees (rewriter dedups first)") {
+    // "a a b": the rewriter normalizes duplicate clauses away BEFORE any
+    // execution path sees them, so exhaustive, pruned and batched results
+    // must all equal the distinct query's — one contract, three engines
+    val q = BooleanQuery(Seq(
+      Occur.SHOULD -> TermQuery("spark"), Occur.SHOULD -> TermQuery("spark"),
+      Occur.SHOULD -> TermQuery("dup")))
+    val plain = new Searcher(index, ScoringMode.PreciseBM25(), pruneThreshold = Long.MaxValue)
+    val pruned = new Searcher(index, ScoringMode.PreciseBM25(), pruneThreshold = 1L)
+    val want = plain.search(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val distinctWant = plain.search(
+      BooleanQuery.should(TermQuery("spark"), TermQuery("dup")), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(want == distinctWant, "rewriter must dedup duplicate clauses")
+    val gotP = pruned.search(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotP.map(_._1) == want.map(_._1), "pruned dup-clause doc ids")
+    gotP.zip(want).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+    val gotB = searcher().searchBatch(Seq("dq" -> q), 10).collect()
+      .sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(gotB.map(_._1) == want.map(_._1), "batched dup-clause doc ids")
+    gotB.zip(want).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("searchBatch respects tombstones (routes through liveDocs-filtered search)") {
+    val tomb = Indexes.tombstonedIndex(spark, sfDir)
+    val ts = new Searcher(tomb, ScoringMode.PreciseBM25())
+    val qs: Seq[(String, Query)] = Seq(
+      "t" -> TermQuery("spark"),
+      "b" -> BooleanQuery.should(TermQuery("spark"), TermQuery("dup")))
+    val got = ts.searchBatch(qs, 10).collect()
+      .map(r => (r.getString(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    qs.foreach { case (qid, q) =>
+      val want = ts.search(q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(want.forall(_._1 % 7 != 3), "sanity: search excludes tombstoned ids")
+      val gotQ = (1 to want.size).map(rank => got((qid, rank.toLong)))
+      assert(gotQ == want, s"$qid batched-with-tombstones != search")
+    }
+  }
+
   test("boolean MUST = intersection with summed scores") {
     val got = searcher().scored(BooleanQuery.must(TermQuery("data"), TermQuery("dup"))).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap

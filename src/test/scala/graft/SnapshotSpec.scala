@@ -91,6 +91,27 @@ class SnapshotSpec extends AnyFunSuite {
     intercept[Exception](InvertedIndex.open(spark, dir, asOf = Some(1)))
   }
 
+  test("purge-merge of a two-commit index keeps appended docs' rows visible") {
+    // regression: the docs rewrite used to preserve the SOURCE batchNs while
+    // the purge snapshot names only namespace 0 — appended docs' rows were
+    // silently filtered out of the purged reader's docs view
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-purge-").toString
+    val cfg = IndexConfig(SimpleAnalyzer, withPositions = true)
+    IndexBuilder.build(docsOf(_ % 2 == 0), dir, cfg)
+    IndexBuilder.appendBatch(docsOf(_ % 2 == 1), dir, cfg, segNamespace = 1L << 40)
+    IndexBuilder.commitAppend(spark, dir, 1L << 40)
+    val full = InvertedIndex.open(spark, dir)
+    val victim = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id").as[Long].collect().min
+    Deletes.tombstone(spark, dir, spark.createDataset(Seq(java.lang.Long.valueOf(victim))))
+    val (purged, _) = SegmentMerger.merge(InvertedIndex.open(spark, dir),
+      dir + "-purged", computeMetrics = false)
+    assert(purged.docs.count() == full.collectionStats.docCount - 1,
+      "purged docs view must keep every live doc from BOTH commits")
+    assert(purged.collectionStats.docCount == full.collectionStats.docCount - 1)
+    assert(CheckIndex.check(purged).isEmpty)
+  }
+
   test("updateDocuments: purge + re-add keeps statistics and results consistent") {
     val dir = java.nio.file.Files.createTempDirectory("graft-upd-").toString
     val cfg = IndexConfig(SimpleAnalyzer, withPositions = true)
