@@ -103,6 +103,21 @@ object Indexes {
         IndexConfig(ShingleAnalyzer(SimpleAnalyzer, 2), withPositions = false))
     })
 
+  /** Documents indexed through a char-trigram [[NGramAnalyzer]]: the
+    * vocabulary is every 3-gram of every token — substring search becomes a
+    * TermQuery (the reference's NGramTokenFilter use case). */
+  def ngramIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#ngram", {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-ngram-").toString
+      val docs = graft.pipeline.TextOps.parallelized(
+          spark.read.parquet(s"$sfDir/documents.parquet"))
+        .select(col("doc_id").as("docId"), col("text"))
+        .as[InputDoc]
+      IndexBuilder.build(docs, dir,
+        IndexConfig(NGramAnalyzer(SimpleAnalyzer, 3, 3), withPositions = false))
+    })
+
   /** Documents index built in TWO snapshot commits: v1 = the even doc ids
     * (base build), v2 = the odd half appended as a micro-batch. Opening
     * `asOf = Some(1)` time-travels to the pre-append state; the latest view
@@ -434,6 +449,12 @@ object SparkEntry {
     }),
     "q70_spell" -> ((s, dir) => {
       Suggester.spell(Indexes.documentsIndex(s, dir), "sparc", 8)
+    }),
+    "q72_ngram_substring" -> ((s, dir) => {
+      // substring search over a char-trigram index: one TermQuery answers
+      // what a %LIKE% table scan computes
+      docSet(new Searcher(Indexes.ngramIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("par")))
     }),
     "q71_shingle" -> ((s, dir) => {
       // index-time bigram shingles: one TermQuery on the shingle vocabulary
@@ -1072,6 +1093,12 @@ object SparkEntry {
          |  ) ex
          |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
 ,
+    // char-trigram index: TermQuery("par") == substring containment scan
+    "q72_ngram_substring" ->
+      s"""$CTE
+         |SELECT DISTINCT doc_id FROM toks WHERE term LIKE '%par%'
+         |ORDER BY doc_id""".stripMargin,
+
     // bigram-shingle index: TermQuery("batch batch") == adjacent-pair scan
     "q71_shingle" ->
       s"""$CTE

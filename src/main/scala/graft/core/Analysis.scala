@@ -50,6 +50,9 @@ object Analyzers {
     case "folding"        => AsciiFoldingAnalyzer()
     case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
       ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)
+    case s if s.startsWith("ngram-") => // "ngram-<min>-<max>" over SimpleAnalyzer
+      val parts = s.stripPrefix("ngram-").split("-")
+      NGramAnalyzer(SimpleAnalyzer, parts(0).toInt, parts(1).toInt)
     case other            => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
 }

@@ -268,6 +268,7 @@ class AnalysisSpec extends AnyFunSuite {
   test("analyzer registry round-trips the new names") {
     assert(Analyzers.byName("folding").name == "folding")
     assert(Analyzers.byName("shingle-2") == ShingleAnalyzer(SimpleAnalyzer, 2))
+    assert(Analyzers.byName("ngram-3-3") == NGramAnalyzer(SimpleAnalyzer, 3, 3))
   }
 
   test("simple analyzer: lowercase alnum runs with consecutive positions") {
