@@ -44,7 +44,25 @@ object Snapshots {
     } finally s.close()
   }
 
-  def latest(dir: String): Option[Snapshot] = list(dir).lastOption
+  /** Latest snapshot: derived from the max `v%08d` file NAME — one directory
+    * listing plus ONE file read, not a read+parse of every retained version
+    * (`commit` and every `InvertedIndex.open` call this; reading all N files
+    * made a stream's Nth micro-batch commit cost O(N), O(N²) cumulative). */
+  def latest(dir: String): Option[Snapshot] = {
+    val d = snapDir(dir)
+    if (!java.nio.file.Files.isDirectory(d)) return None
+    val s = java.nio.file.Files.list(d)
+    val maxV =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("v") && n.endsWith(".json"))
+          .map(versionOf)
+          .foldLeft(-1)(math.max)
+      } finally s.close()
+    if (maxV < 0) None else Some(read(dir, maxV))
+  }
 
   def read(dir: String, version: Int): Snapshot = {
     val text = java.nio.file.Files.readString(snapDir(dir).resolve(f"v$version%08d.json"))

@@ -18,8 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** For CPU-heavy per-row operators (shingle/hash dedup): spread a
+    * single-file input over the cluster first. */
   private def documents(s: SparkSession, dir: String): DataFrame =
     TextOps.parallelized(s.read.parquet(s"$dir/documents.parquet"))
+
+  /** For expression-only operators (lang-id, quality, token stats,
+    * fingerprint): a plain scan — repartitioning a narrow input costs more
+    * than the expressions themselves, and `parallelized` materializes the
+    * RDD lineage just to read the partition count (the r2 q22 regression). */
+  private def documentsExpr(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -72,17 +81,17 @@ object PipelineQueries {
         .select(col("id").as("vec_id"), round(col("cos"), 6).as("cos"))
     }),
     "q22_lang_id" -> ((s, dir) => {
-      TextAnalysis.languageId(documents(s, dir), "text")
+      TextAnalysis.languageId(documentsExpr(s, dir), "text")
         .groupBy(col("predicted_lang")).agg(count(lit(1)).as("cnt"))
         .orderBy("predicted_lang")
     }),
     "q23_quality" -> ((s, dir) => {
-      TextAnalysis.qualityScore(documents(s, dir), "text")
+      TextAnalysis.qualityScore(documentsExpr(s, dir), "text")
         .select(col("doc_id"), col("quality"))
         .orderBy("doc_id")
     }),
     "q24_token_stats" -> ((s, dir) => {
-      val d = documents(s, dir)
+      val d = documentsExpr(s, dir)
       val toks = d.select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
       val tokAgg = toks.groupBy("source")
         .agg(count(lit(1)).as("n_tokens"), countDistinct(col("t")).as("n_terms"))
@@ -92,14 +101,14 @@ object PipelineQueries {
         .orderBy("source")
     }),
     "q25_fingerprint" -> ((s, dir) => {
-      TextAnalysis.fingerprint(documents(s, dir), "text")
+      TextAnalysis.fingerprint(documentsExpr(s, dir), "text")
         .filter(col("doc_id") < 20)
         .select(col("doc_id"), col("fingerprint"))
         .orderBy("doc_id")
     }),
     "q26_multimodal_meta" -> ((s, dir) => {
       import s.implicits._
-      val assets = Multimodal.syntheticAssets(documents(s, dir), "doc_id", "text")
+      val assets = Multimodal.syntheticAssets(documentsExpr(s, dir), "doc_id", "text")
       Multimodal.decodeMeta(assets).toDF()
         .select(col("assetId").as("asset_id"), col("modality"),
           col("sizeBytes").as("size_bytes"),

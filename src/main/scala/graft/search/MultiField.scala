@@ -91,10 +91,21 @@ object MultiField {
   def blendedTerm(fields: Seq[(InvertedIndex, Double)], term: String,
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(fields.nonEmpty)
-    val dfs = fields.map { case (ix, _) =>
-      ix.termStats.filter(col("term") === lit(term))
-        .select("df").collect().headOption.map(_.getLong(0)).getOrElse(0L)
-    }
+    // One df lookup for ALL fields: warm (driver-resident) dictionaries are a
+    // RAM read; otherwise the per-field stats scans union into a single plan
+    // and a single action — not one driver round-trip per field.
+    val dfs: Seq[Long] =
+      if (fields.forall(_._1.warmTermStats.isDefined))
+        fields.map { case (ix, _) => ix.warmTermStats.get.get(term).map(_._1).getOrElse(0L) }
+      else {
+        val tagged = fields.zipWithIndex.map { case ((ix, _), i) =>
+          ix.termStats.filter(col("term") === lit(term))
+            .select(lit(i).as("fieldIdx"), col("df"))
+        }
+        val found = tagged.reduce(_ unionAll _).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        fields.indices.map(i => found.getOrElse(i, 0L))
+      }
     val blendedDf = dfs.max
     val scored = fields.map { case (ix, boost) =>
       val cs = ix.collectionStats

@@ -514,67 +514,221 @@ final class Searcher(
 
   // ------------------------------------------------ leapfrog (rarest-first)
 
-  /** Docs-per-broadcast bound for the rarest-term leapfrog: 1M doc ids ≈ 8 MB
-    * broadcast — past that the intersection isn't selective enough to pay. */
+  /** Doc-count bound for an EXACT lead broadcast: 1M doc ids ≈ 8 MB. Above
+    * it the lead degrades to a coarse bucket filter, never to no filter. */
   private val LeapfrogMaxDf = 1000000L
 
-  /** Rarest-term doc set as a sorted array, or None when every query term is
-    * too common for the intersection to pay. The distributed analog of the
-    * reference's cost-sorted conjunction lead
+  /** Bucket-count bound of the coarse lead: 2^16 sorted longs ≈ 512 KB
+    * broadcast regardless of lead df — the cliff-free upper tier. */
+  private val CoarseLeadBuckets = 16 // log2
+
+  /** The rarest term's doc set as a broadcast membership filter — the
+    * distributed analog of the reference's cost-sorted conjunction lead
     * (`lucene/core/src/java/org/apache/lucene/search/ConjunctionDISI.java:36`):
-    * every other term's postings are (a) block-skipped on [firstDoc, lastDoc]
-    * overlap and (b) row-filtered by membership — BEFORE any positions are
-    * decoded or shuffled, so a phrase containing one head term no longer
-    * ships the head term's entire positional postings into the group-by. */
-  private def rarestDocSet(terms: Seq[String], stats: Map[String, TermStats])
-      : Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]])] = {
-    val rarest = terms.minBy(t => stats(t).docFreq)
-    if (stats(rarest).docFreq > LeapfrogMaxDf || terms.distinct.size < 2) None
-    else {
-      val docs = blocksOf(rarest)
-        .mapPartitions(it => it.flatMap(b => PostingsCodec.decodeDocIds(b).iterator))
-        .collect()
+    * every other term's positional postings are (a) block-skipped on
+    * [firstDoc, lastDoc] overlap and (b) row-filtered by membership BEFORE
+    * the shuffle into the per-doc group-by.
+    *
+    * Two tiers, both bounded, so there is NO df beyond which the filter
+    * silently disables (the r2 cliff):
+    *  - df ≤ [[LeapfrogMaxDf]]: the exact sorted doc-id array (shift 0);
+    *  - df > cap: doc ids quantized to ≤ 2^16 buckets over the lead's doc-id
+    *    span — a conservative superset (never drops a true match), ~512 KB
+    *    broadcast at ANY df. When the lead is dense the buckets pass
+    *    everything, which is exactly when no doc-level filter could prune —
+    *    dense-lead phrases instead take [[segmentPhraseFrame]]'s per-segment
+    *    local leapfrog on doc-aligned indexes. */
+  private final class LeadFilter(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Long]], shift: Int) extends Serializable {
+    def blockOverlaps(first: Long, last: Long): Boolean = {
+      val a = bc.value
+      var i = java.util.Arrays.binarySearch(a, first >> shift)
+      if (i < 0) i = -i - 1
+      i < a.length && a(i) <= (last >> shift)
+    }
+    def contains(docId: Long): Boolean =
+      java.util.Arrays.binarySearch(bc.value, docId >> shift) >= 0
+  }
+
+  /** Build the lead filter over the union of `leadTerms`' postings (one term
+    * for phrases/spans; one position's alternatives for multi-phrase). */
+  private def buildLeadFilter(leadTerms: Seq[String], totalDf: Long): LeadFilter = {
+    if (totalDf <= LeapfrogMaxDf) {
+      val docs = leadTerms.map { t =>
+        blocksOf(t).mapPartitions(it => it.flatMap(b => PostingsCodec.decodeDocIds(b).iterator)).collect()
+      }.reduce(_ ++ _).distinct
       java.util.Arrays.sort(docs)
-      // broadcast ONCE per query — every non-rarest term's block filter and
-      // the row-level membership check reuse the same handle (an n-term
-      // phrase would otherwise ship n copies of a multi-MB doc set)
-      Some((rarest, spark.sparkContext.broadcast(docs)))
+      new LeadFilter(spark.sparkContext.broadcast(docs), 0)
+    } else {
+      // coarse tier: one metadata-only pass over the lead's block ranges —
+      // no posting payload decoded, collect bounded at 2^16 bucket ids
+      val ranges = index.postings
+        .filter(col("term").isin(leadTerms: _*))
+        .select(explode(col("blocks")).as("b"))
+        .select(col("b.firstDoc"), col("b.lastDoc"))
+        .as[(Long, Long)]
+      val maxLast = ranges.agg(max(col("lastDoc"))).as[Long].head()
+      val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(maxLast, 1L))
+      val shift = math.max(0, bits - CoarseLeadBuckets)
+      val buckets = ranges
+        .flatMap { case (f, l) => ((f >> shift) to (l >> shift)).iterator }
+        .distinct().collect()
+      java.util.Arrays.sort(buckets)
+      new LeadFilter(spark.sparkContext.broadcast(buckets), shift)
     }
   }
 
-  /** Block-prune + row-filter a term's positional scan by the rarest term's
-    * doc set (no-op for the rarest term itself). */
+  /** Lead filter keyed by the rarest query term (None for 1-term inputs). */
+  private def rarestLead(terms: Seq[String], stats: Map[String, TermStats])
+      : Option[(String, LeadFilter)] = {
+    if (terms.distinct.size < 2) return None
+    val rarest = terms.minBy(t => stats(t).docFreq)
+    Some((rarest, buildLeadFilter(Seq(rarest), stats(rarest).docFreq)))
+  }
+
+  /** Block-prune a term's positional scan by the lead filter (no-op for the
+    * lead term itself — its own scan defines the filter). */
   private def leapfrogged(term: String,
-      lead: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]])]): Dataset[PostingBlock] = {
+      lead: Option[(String, LeadFilter)]): Dataset[PostingBlock] = {
     val base = blocksOf(term)
     lead match {
-      case Some((rarest, bcSorted)) if term != rarest =>
-        val overlaps = udf { (first: Long, last: Long) =>
-          val a = bcSorted.value
-          var i = java.util.Arrays.binarySearch(a, first)
-          if (i < 0) i = -i - 1
-          i < a.length && a(i) <= last
-        }
+      case Some((rarest, lf)) if term != rarest =>
+        val overlaps = udf((first: Long, last: Long) => lf.blockOverlaps(first, last))
         base.filter(overlaps(col("firstDoc"), col("lastDoc")))
       case _ => base
     }
   }
 
-  private def inLeadSet(
-      lead: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]])]): Long => Boolean = lead match {
-    case Some((_, bc)) =>
-      id => java.util.Arrays.binarySearch(bc.value, id) >= 0
+  private def inLeadSet(lead: Option[(String, LeadFilter)]): Long => Boolean = lead match {
+    case Some((_, lf)) => id => lf.contains(id)
     case None => _ => true
+  }
+
+  /** Per-segment local leapfrog for doc-aligned indexes (every segment owns
+    * the COMPLETE postings of its docs — built/streamed indexes): the query
+    * terms' ENCODED blocks are grouped by segment (one shuffle of compressed
+    * payloads, no per-doc row explosion) and the whole phrase match runs
+    * inside the group, exactly the reference's per-LeafReaderContext
+    * `ExactPhraseMatcher`/`SloppyPhraseMatcher` loop
+    * (`lucene/core/src/java/org/apache/lucene/search/ExactPhraseMatcher.java:39`):
+    * decode the rarest term first, skip every other term's blocks that don't
+    * overlap its doc set, intersect, verify positions. Doc-aligned segments
+    * partition the doc space, so per-segment results union disjointly.
+    *
+    * This is the head-term-safe plan: an all-head phrase never ships exploded
+    * positional rows through a doc-keyed shuffle — the shuffled bytes are the
+    * FOR-compressed blocks of the query terms only, and the rarest-first
+    * decode order skips non-overlapping blocks without decoding them. */
+  private def segmentPhraseFrame(terms: Seq[String], slop: Int,
+      stats: Map[String, TermStats], boost: Double): DataFrame = {
+    val scorer = phraseScorer(terms.map(stats), boost)
+    val distinctTerms = terms.distinct
+    val rarest = distinctTerms.minBy(t => stats(t).docFreq)
+    val termsL = terms.toIndexedSeq
+    val slop0 = slop
+    val rows = index.postings
+      .filter(col("term").isin(distinctTerms: _*))
+      .select(col("segmentId"), col("term"), explode(col("blocks")).as("b"))
+      .as[(Long, String, PostingBlock)]
+    rows.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val byTerm = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[PostingBlock]]
+        it.foreach { case (_, t, b) =>
+          byTerm.getOrElseUpdate(t, scala.collection.mutable.ArrayBuffer.empty) += b
+        }
+        if (!distinctTerms.forall(byTerm.contains)) Iterator.empty
+        else {
+          // rarest term decoded first — its docs bound every candidate
+          val rblocks = byTerm(rarest).sortBy(_.firstDoc)
+          val rdec = rblocks.map(b => PostingsCodec.decodeBlock(b, withPositions = true))
+          val nCand = rdec.iterator.map(_.docs.length).sum
+          val candDocs = new Array[Long](nCand)
+          val candLens = new Array[Int](nCand)
+          val candPos = new Array[Array[Int]](nCand)
+          var o = 0
+          rdec.foreach { d =>
+            var i = 0
+            while (i < d.docs.length) {
+              candDocs(o) = d.docs(i); candLens(o) = d.doclens(i); candPos(o) = d.positions(i)
+              o += 1; i += 1
+            }
+          }
+          // (doc-sorted: blocks are doc-ordered and block ranges disjoint
+          // within a segment's term)
+          val posOf = scala.collection.mutable.HashMap.empty[String, java.util.HashMap[Long, Array[Int]]]
+          posOf(rarest) = {
+            val m = new java.util.HashMap[Long, Array[Int]](nCand * 2)
+            var i = 0
+            while (i < nCand) { m.put(candDocs(i), candPos(i)); i += 1 }
+            m
+          }
+          distinctTerms.filter(_ != rarest).foreach { t =>
+            val m = new java.util.HashMap[Long, Array[Int]]()
+            byTerm(t).foreach { b =>
+              // skip blocks with no candidate in range — the leapfrog skip,
+              // applied before DECODE (candDocs is sorted)
+              var i = java.util.Arrays.binarySearch(candDocs, b.firstDoc)
+              if (i < 0) i = -i - 1
+              if (i < nCand && candDocs(i) <= b.lastDoc) {
+                val d = PostingsCodec.decodeBlock(b, withPositions = true)
+                var j = 0
+                while (j < d.docs.length) {
+                  if (java.util.Arrays.binarySearch(candDocs, d.docs(j)) >= 0)
+                    m.put(d.docs(j), d.positions(j))
+                  j += 1
+                }
+              }
+            }
+            posOf(t) = m
+          }
+          Iterator.range(0, nCand).flatMap { i =>
+            val doc = candDocs(i)
+            val arrays = new Array[Array[Int]](termsL.length)
+            var ok = true
+            var s = 0
+            while (ok && s < termsL.length) {
+              val a = posOf(termsL(s)).get(doc)
+              if (a == null) ok = false else arrays(s) = a
+              s += 1
+            }
+            if (!ok) None
+            else {
+              val freq: Double =
+                if (slop0 == 0) {
+                  var count = 0
+                  val base = arrays(0)
+                  var p = 0
+                  while (p < base.length) {
+                    val p0 = base(p)
+                    var all = true
+                    var j = 1
+                    while (all && j < arrays.length) {
+                      if (java.util.Arrays.binarySearch(arrays(j), p0 + j) < 0) all = false
+                      j += 1
+                    }
+                    if (all) count += 1
+                    p += 1
+                  }
+                  count.toDouble
+                } else SloppyMatcher.sloppyFreq(arrays, slop0)
+              if (freq > 0) Some((doc, scorer(freq, candLens(i)))) else None
+            }
+          }
+        }
+      }.toDF("docId", "score")
   }
 
   /** Exact phrase: per-term positional postings unioned, grouped by doc,
     * position-intersected (two-phase: cheap doc match, then the position
     * verify, like `lucene/core/src/java/org/apache/lucene/search/ExactPhraseMatcher.java:39`).
-    * Every non-rarest term is leapfrogged by the rarest term's doc set first. */
+    * Doc-aligned indexes take [[segmentPhraseFrame]]'s per-segment local
+    * leapfrog; merged (term-sharded) indexes run the doc-keyed group-by with
+    * every non-rarest term leapfrogged by the rarest term's lead filter. */
   private def phraseFrame(terms: Seq[String], stats: Map[String, TermStats], boost: Double): DataFrame = {
     if (terms.exists(t => !stats.contains(t))) return emptyFrame
+    if (index.docAlignedSegments) return segmentPhraseFrame(terms, 0, stats, boost)
     val scorer = phraseScorer(terms.map(stats), boost)
-    val lead = rarestDocSet(terms, stats)
+    val lead = rarestLead(terms, stats)
     val member = inLeadSet(lead)
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
       leapfrogged(t, lead)
@@ -632,8 +786,9 @@ final class Searcher(
       throw new UnsupportedOperationException(
         "sloppy phrases with repeated terms are not supported (use slop=0)")
     if (terms.exists(t => !stats.contains(t))) return emptyFrame
+    if (index.docAlignedSegments) return segmentPhraseFrame(terms, slop, stats, boost)
     val scorer = phraseScorer(terms.map(stats), boost)
-    val lead = rarestDocSet(terms, stats)
+    val lead = rarestLead(terms, stats)
     val member = inLeadSet(lead)
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
       leapfrogged(t, lead)
@@ -677,19 +832,13 @@ final class Searcher(
     val allTerms = positions.flatten.distinct.filter(stats.contains)
     val scorer = phraseScorer(allTerms.map(stats), boost)
     // leapfrog lead: the position index with the smallest summed df — its
-    // alternatives' doc-set union bounds every match
+    // alternatives' doc-set union bounds every match (exact or coarse tier
+    // by total df; sentinel name so no real term skips the filter)
     val leadAlts = positions.map(_.filter(stats.contains))
       .minBy(_.map(t => stats(t).docFreq).sum)
-    val lead: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]])] =
-      if (leadAlts.map(t => stats(t).docFreq).sum > LeapfrogMaxDf || positions.size < 2) None
-      else {
-        val docs = leadAlts.map { t =>
-          blocksOf(t).mapPartitions(it => it.flatMap(b => PostingsCodec.decodeDocIds(b).iterator)).collect()
-        }.reduce(_ ++ _).distinct
-        java.util.Arrays.sort(docs)
-        // sentinel name: no real term skips the filter; one shared broadcast
-        Some((" lead", spark.sparkContext.broadcast(docs)))
-      }
+    val lead: Option[(String, LeadFilter)] =
+      if (positions.size < 2) None
+      else Some((" lead", buildLeadFilter(leadAlts, leadAlts.map(t => stats(t).docFreq).sum)))
     val member = inLeadSet(lead)
     val perPos = positions.zipWithIndex.map { case (alts, i) =>
       val present = alts.filter(stats.contains)
@@ -750,7 +899,7 @@ final class Searcher(
                             stats: Map[String, TermStats], boost: Double): DataFrame = {
     if (terms.exists(t => !stats.contains(t))) return emptyFrame
     val window = terms.size + slop
-    val lead = rarestDocSet(terms, stats)
+    val lead = rarestLead(terms, stats)
     val member = inLeadSet(lead)
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
       leapfrogged(t, lead)
@@ -1315,8 +1464,49 @@ final class Searcher(
         (col("score") === lit(afterScore) && col("docId") > lit(afterDocId)))
       .orderBy(desc("score"), asc("docId")).limit(k)
 
-  /** Total hit count (`lucene/core/src/java/org/apache/lucene/search/TotalHitCountCollector.java:27`). */
-  def count(q: Query): Long = scored(q).count()
+  /** Total hit count (`lucene/core/src/java/org/apache/lucene/search/TotalHitCountCollector.java:27`).
+    *
+    * Short-circuits like the reference (`IndexSearcher.java:495`):
+    *  - a single term's count IS its precomputed docFreq — a pure stats
+    *    lookup, zero scan (df = distinct docs per CheckIndex invariant);
+    *  - flat term disjunctions/conjunctions count doc ids from the
+    *    delta-chain-only decode ([[PostingsCodec.decodeDocIds]]) — no freq or
+    *    norm decode and no scoring in the plan, ~⅓ the scan work;
+    *  - everything else falls back to the scored doc set.
+    * With pending tombstones counts must exclude deleted docs while df is
+    * deletion-blind, so the deletion-aware exhaustive path runs instead. */
+  def count(q: Query): Long = {
+    val rewritten = QueryRewriter.rewrite(q)
+    if (tombstones.isDefined) return scored(rewritten).count()
+    def docIdsOf(t: String): DataFrame =
+      blocksOf(t).mapPartitions(it => it.flatMap(b => PostingsCodec.decodeDocIds(b).iterator))
+        .toDF("docId")
+    rewritten match {
+      case TermQuery(t) =>
+        lookupStats(Set(t)).get(t).map(_.docFreq).getOrElse(0L)
+      case BooleanQuery(clauses, msm)
+          if msm <= 1 && clauses.nonEmpty &&
+            clauses.forall(_._2.isInstanceOf[TermQuery]) &&
+            (clauses.forall(_._1 == Occur.SHOULD) || clauses.forall(_._1 == Occur.MUST)) =>
+        val terms = clauses.map(_._2.asInstanceOf[TermQuery].term).distinct
+        val stats = lookupStats(terms.toSet)
+        val present = terms.filter(stats.contains)
+        if (clauses.head._1 == Occur.MUST) {
+          if (present.size < terms.size) 0L
+          else if (present.size == 1) stats(present.head).docFreq
+          else present.map(docIdsOf).reduce((a, b) => a.join(b, "docId")).count()
+        } else {
+          if (present.isEmpty) 0L
+          else if (present.size == 1) stats(present.head).docFreq
+          else present.map(docIdsOf).reduce(_ unionAll _).distinct().count()
+        }
+      case e @ (_: PrefixQuery | _: TermRangeQuery | _: TermInSetQuery) =>
+        expansionFrame(expansionPred(e), 1.0).count()
+      case e @ (_: FuzzyQuery | _: RegexpQuery) =>
+        expansionFrame(expansionPred(e), 1.0, dictFirst = true).count()
+      case other => scored(other).count()
+    }
+  }
 
   /** Second-pass re-ranking — the reference's `QueryRescorer.rescore`
     * (`lucene/core/src/java/org/apache/lucene/search/QueryRescorer.java`):
