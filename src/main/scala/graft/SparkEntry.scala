@@ -118,6 +118,21 @@ object Indexes {
         IndexConfig(NGramAnalyzer(SimpleAnalyzer, 3, 3), withPositions = false))
     })
 
+  /** The `lang='de'` corpus slice indexed through the German analysis chain
+    * ([[graft.core.GermanAnalyzer]]: tokenize → lowercase → stop(DE, position
+    * increments kept) → light stem) — the per-language registry exercised end
+    * to end with its own statistics. */
+  def germanIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#de", {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-de-").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("lang") === "de")
+        .select(col("doc_id").as("docId"), col("text"))
+        .as[InputDoc]
+      IndexBuilder.build(docs, dir, IndexConfig(GermanAnalyzer(), withPositions = true))
+    })
+
   /** Documents index built in TWO snapshot commits: v1 = the even doc ids
     * (base build), v2 = the odd half appended as a micro-batch. Opening
     * `asOf = Some(1)` time-travels to the pre-append state; the latest view
@@ -474,6 +489,20 @@ object SparkEntry {
       // statistically identical to the one-shot build (same oracle as q01)
       topk(new Searcher(Indexes.snapshottedIndex(s, dir), ScoringMode.PreciseBM25())
         .scored(TermQuery("spark")), 10)
+    }),
+    "q73_fuzzy_scored" -> ((s, dir) => {
+      // the reference's DEFAULT fuzzy rewrite (TopTermsBlendedFreqScoring):
+      // top-50 dictionary terms within 2 edits by df, df blended to max,
+      // per-term BM25 × edit-similarity boost, summed — fuzzy hits RANKED,
+      // not constant-scored (q14 remains the constant-score variant)
+      topk(Indexes.searcher(s, dir).scored(ScoredFuzzyQuery("spark", 2, 50)), 10)
+    }),
+    "q74_german_stem" -> ((s, dir) => {
+      // German chain on the lang='de' slice: 'lines'→'lin' and 'line'→'lin'
+      // conflate under the light stemmer, so one stemmed TermQuery ranks docs
+      // by the combined surface-form frequencies with slice-local statistics
+      topk(new Searcher(Indexes.germanIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("lin")), 10)
     })
   ) ++ graft.pipeline.PipelineQueries.queries
 
@@ -488,6 +517,22 @@ object SparkEntry {
   /** SQL literal list of the English stop set (q55's stop-filtered index). */
   private val StopList: String =
     Analyzers.EnglishStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+
+  /** SQL literal list of the German stop set (q74's German-chain index). */
+  private val GermanStopList: String =
+    Analyzers.GermanStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+
+  /** The engine's German light stemmer ([[graft.core.GermanLightStem]]) as a
+    * SQL CASE over an ASCII token column (the corpus is pure ASCII, so the
+    * umlaut fold is the identity here). */
+  private def germanStemSql(t: String): String =
+    s"""CASE
+       |  WHEN length($t) >= 6 AND $t LIKE '%ern' THEN substr($t, 1, length($t) - 3)
+       |  WHEN length($t) >= 5 AND ($t LIKE '%em' OR $t LIKE '%en' OR $t LIKE '%er' OR $t LIKE '%es')
+       |    THEN substr($t, 1, length($t) - 2)
+       |  WHEN length($t) >= 4 AND ($t LIKE '%e' OR $t LIKE '%n' OR $t LIKE '%s')
+       |    THEN substr($t, 1, length($t) - 1)
+       |  ELSE $t END""".stripMargin
 
   /** Shared CTE prefix: tokenize `documents` exactly like [[SimpleAnalyzer]]
     * (lowercase, maximal `[a-z0-9]+` runs, 0-based positions over kept
@@ -1126,6 +1171,55 @@ object SparkEntry {
          |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
 
     // latest snapshot after the append == the full corpus (same as q01)
-    "q68_snapshot_latest" -> topkSql(termScoreSql("spark"), 10)
+    "q68_snapshot_latest" -> topkSql(termScoreSql("spark"), 10),
+
+    // scored fuzzy (TopTermsBlendedFreqScoring): dictionary terms within 2
+    // edits, top-50 by (df desc, term asc), df blended to the max of the kept
+    // set, per-term BM25 × edit-similarity boost 1 − dist/min(|t|,|q|), summed
+    "q73_fuzzy_scored" ->
+      s"""$CTE, dict AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df
+         |  FROM toks WHERE levenshtein(term, 'spark') <= 2
+         |  GROUP BY term ORDER BY df DESC, term LIMIT 50
+         |), bdf AS (SELECT max(df) AS df FROM dict)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT tf.doc_id, sum(
+         |    ${idfSql("(SELECT df FROM bdf)")}
+         |    * (1.0 - levenshtein(tf.term, 'spark')::DOUBLE / least(length(tf.term), 5))
+         |    * ${tfNormSql("tf.freq", "dl.dlq")}) AS score
+         |  FROM (SELECT doc_id, term, count(*) AS freq FROM toks
+         |        WHERE term IN (SELECT term FROM dict) GROUP BY doc_id, term) tf
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  GROUP BY tf.doc_id
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // German chain on the lang='de' slice: tokenize → stop(DE, surface form)
+    // → light stem; doc length counts kept tokens, docCount counts every
+    // slice doc, statistics are slice-local (its own index)
+    "q74_german_stem" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+         |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+         |  FROM documents WHERE lang = 'de'
+         |), toks0 AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+         |  FROM raw WHERE term <> ''
+         |), toks AS (
+         |  SELECT doc_id, ${germanStemSql("term")} AS term, pos
+         |  FROM toks0 WHERE term NOT IN ($GermanStopList)
+         |), quant(q) AS (
+         |  SELECT * FROM (VALUES $QuantValues)
+         |), dl0 AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), dl AS (
+         |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM documents WHERE lang = 'de') AS n,
+         |         (SELECT sum(dl) FROM dl0)::DOUBLE
+         |           / (SELECT count(*) FROM documents WHERE lang = 'de') AS avgdl
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("lin")}) scored
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
   ) ++ graft.pipeline.PipelineQueries.oracleSql
 }

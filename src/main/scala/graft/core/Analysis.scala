@@ -42,11 +42,21 @@ object Analyzers {
     "their", "then", "there", "these", "they", "this", "to", "was", "will",
     "with")
 
+  /** High-frequency subset of the snowball German stop list the reference
+    * ships as `german_stop.txt`
+    * (`lucene/analysis/common/src/resources/org/apache/lucene/analysis/snowball/german_stop.txt`). */
+  val GermanStopWords: Set[String] = Set(
+    "aber", "als", "auch", "auf", "aus", "bei", "das", "dem", "den", "der",
+    "des", "die", "durch", "ein", "eine", "einem", "einen", "einer", "eines",
+    "er", "es", "für", "im", "in", "ist", "mit", "nicht", "oder", "sie",
+    "sind", "über", "und", "unter", "von", "war", "wird", "zu", "zum", "zur")
+
   def byName(name: String): Analyzer = name match {
     case "simple"         => SimpleAnalyzer
     case "standard"       => StandardLikeAnalyzer()
     case "simple-en-stop" => SimpleStopAnalyzer(EnglishStopWords)
     case "english"        => EnglishAnalyzer()
+    case "german"         => GermanAnalyzer()
     case "folding"        => AsciiFoldingAnalyzer()
     case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
       ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)
@@ -188,6 +198,64 @@ final case class EnglishAnalyzer(
     }
     out.result()
   }
+}
+
+/** German light stemmer — the shape of the reference's
+  * `GermanLightStemmer` (Savoy's UniNE light stemmer;
+  * `lucene/analysis/common/src/java/org/apache/lucene/analysis/de/GermanLightStemmer.java`):
+  * umlaut/ß folding then plural/case suffix removal. Deliberately reduced to
+  * ONE suffix pass with fixed length guards so the exact transform is
+  * ANSI-SQL-expressible (the oracle replays it as a CASE expression); the
+  * reference additionally iterates a second pass and folds inside the token —
+  * the divergence is quantified in GermanSpec. */
+object GermanLightStem extends Serializable {
+  def fold(s: String): String = {
+    val b = new StringBuilder(s.length)
+    s.foreach {
+      case 'ä' => b.append('a')
+      case 'ö' => b.append('o')
+      case 'ü' => b.append('u')
+      case 'ß' => b.append("ss")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  def stem(term: String): String = {
+    val f = fold(term)
+    val n = f.length
+    if (n >= 6 && f.endsWith("ern")) f.substring(0, n - 3)
+    else if (n >= 5 && (f.endsWith("em") || f.endsWith("en") ||
+      f.endsWith("er") || f.endsWith("es"))) f.substring(0, n - 2)
+    else if (n >= 4 && (f.endsWith("e") || f.endsWith("n") || f.endsWith("s")))
+      f.substring(0, n - 1)
+    else f
+  }
+}
+
+/** German analysis chain through the per-language registry — the reference's
+  * `GermanAnalyzer` shape
+  * (`lucene/analysis/common/src/java/org/apache/lucene/analysis/de/GermanAnalyzer.java`):
+  * tokenize → lowercase → stop(DE, position increments kept) → light stem.
+  * The stop set is a representative high-frequency subset of the snowball
+  * German list the reference loads from `german_stop.txt` (the full list is a
+  * data file, not an algorithm; the subset keeps the oracle SQL readable). */
+final case class GermanAnalyzer(stopWords: Set[String] = Analyzers.GermanStopWords)
+    extends Analyzer {
+  override val name = "german"
+  override def tokenize(text: String): IndexedSeq[Token] = {
+    val out = Vector.newBuilder[Token]
+    tokenizeRaw(text, (src, s, e, pos) => out += Token(src.substring(s, e), pos))
+    out.result()
+  }
+  override def tokenizeRaw(text: String, sink: TokenSink): Unit =
+    SimpleUnicodeAnalyzer.tokenize(text).foreach { t =>
+      // stop check on the SURFACE form, like the reference (stem after stop)
+      if (!stopWords.contains(t.term)) {
+        val stemmed = GermanLightStem.stem(t.term)
+        sink.accept(stemmed, 0, stemmed.length, t.position)
+      }
+    }
 }
 
 /** Minimal HTML→text extraction: drops tags (including full

@@ -2,6 +2,7 @@ package graft.index
 
 import graft.core._
 import org.apache.spark.TaskContext
+import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
@@ -70,6 +71,16 @@ final case class MergeMetrics(
   */
 object SegmentMerger {
 
+  /** Pack one group's encoded blocks into bounded postings StageRows. */
+  private def encodedRows(segmentId: Long, term: String, salt: Int,
+                          blocks: Vector[PostingBlock]): Iterator[StageRow] =
+    blocks.grouped(PostingsCodec.BlocksPerRow).zipWithIndex.map {
+      case (grp, gi) =>
+        val df = grp.map(_.count).sum
+        val ttf = grp.map(b => BitPack.unpackInts(b.freqs, b.count).map(_.toLong).sum).sum
+        StageRow.postings(segmentId, term, salt * 100000 + gi, df, ttf, grp)
+    }
+
   /** Merge `index` into compacted segments at `targetDir`. Returns the opened
     * merged index plus driver-side metrics; per-output-partition lineage
     * (merge round, rows/blocks/postings written) lands in
@@ -101,14 +112,7 @@ object SegmentMerger {
     // salt keys on df: a term above the per-group budget is head, bucket count
     // proportional to its df. Broadcastable by Zipf: head terms are a
     // vanishing fraction of the vocabulary.
-    // Physical deletes: tombstoned doc ids are dropped during the rewrite
-    // (the forceMergeDeletes analog). The id set is broadcast — like the
-    // reference's in-RAM liveDocs bitsets, pending deletes are assumed small
-    // relative to the corpus between merges.
     val purge = index.deletedDocs.isDefined
-    val delBc = spark.sparkContext.broadcast(
-      index.deletedDocs.map(_.select("docId").as[Long].collect().toSet)
-        .getOrElse(Set.empty[Long]))
 
     val headTerms: Map[String, Int] = index.termStats
       .filter(col("df") > targetPostingsPerGroup.toLong)
@@ -139,52 +143,109 @@ object SegmentMerger {
     // memory bound that makes the merge safe at any corpus size and any
     // executor-thread count. Sorted order also means merged terms land in
     // parquet in term order → row-group min/max stats prune term lookups.
-    val merged = postings
+    val salted = postings
       .withColumn("salt", saltUdf(col("term"), col("segmentId"), col("blockGroup")))
-      .repartition(col("term"), col("salt"))
-      .sortWithinPartitions("term", "salt")
-      .select("term", "salt", "blocks")
-      .as[(String, Int, Seq[PostingBlock])]
-      .mapPartitions { rows =>
-        val pid = TaskContext.getPartitionId()
-        val grouped = new GroupedIterator(rows)
-        val deleted = delBc.value
-        grouped.flatMap { case ((term, salt), rowBlocks) =>
-          val decoded = rowBlocks.iterator.flatten.map { b =>
-            PostingsCodec.decodeBlock(b, withPositions = b.positions.nonEmpty)
-          }.toVector
-          val cap = decoded.iterator.map(_.docs.length).sum
-          val docs = new Array[Long](cap); val freqs = new Array[Int](cap)
-          val dls = new Array[Int](cap)
-          val hasPos = decoded.exists(_.positions.nonEmpty)
-          val pos = if (hasPos) new Array[Array[Int]](cap) else null
-          var o = 0
-          decoded.foreach { d =>
-            var i = 0
-            while (i < d.docs.length) {
-              if (deleted.isEmpty || !deleted.contains(d.docs(i))) {
-                docs(o) = d.docs(i); freqs(o) = d.freqs(i); dls(o) = d.doclens(i)
-                if (hasPos) pos(o) = d.positions(i)
-                o += 1
+
+    val merged: Dataset[StageRow] =
+      if (!purge) {
+        // append-only merge: shuffle the ENCODED blocks (compressed payloads),
+        // decode+re-encode once inside the reduce group
+        salted
+          .repartition(col("term"), col("salt"))
+          .sortWithinPartitions("term", "salt")
+          .select("term", "salt", "blocks")
+          .as[(String, Int, Seq[PostingBlock])]
+          .mapPartitions { rows =>
+            val pid = TaskContext.getPartitionId()
+            val grouped = new GroupedIterator(rows)
+            grouped.flatMap { case ((term, salt), rowBlocks) =>
+              val decoded = rowBlocks.iterator.flatten.map { b =>
+                PostingsCodec.decodeBlock(b, withPositions = b.positions.nonEmpty)
+              }.toVector
+              val cap = decoded.iterator.map(_.docs.length).sum
+              val docs = new Array[Long](cap); val freqs = new Array[Int](cap)
+              val dls = new Array[Int](cap)
+              val hasPos = decoded.exists(_.positions.nonEmpty)
+              val pos = if (hasPos) new Array[Array[Int]](cap) else null
+              var o = 0
+              decoded.foreach { d =>
+                var i = 0
+                while (i < d.docs.length) {
+                  docs(o) = d.docs(i); freqs(o) = d.freqs(i); dls(o) = d.doclens(i)
+                  if (hasPos) pos(o) = d.positions(i)
+                  o += 1
+                  i += 1
+                }
               }
-              i += 1
+              val n = o
+              if (n == 0) Iterator.empty
+              else {
+                val order = Array.tabulate(n)(identity).sortBy(docs(_))
+                val blocks = PostingsCodec.encodeBlocks(
+                  order.map(docs), order.map(freqs), order.map(dls),
+                  if (hasPos) order.map(pos) else null)
+                encodedRows(mergedSegBase + pid, term, salt, blocks)
+              }
             }
           }
-          val n = o
-          if (n == 0) Iterator.empty
-          else {
-          val order = Array.tabulate(n)(identity).sortBy(docs(_))
-          val blocks = PostingsCodec.encodeBlocks(
-            order.map(docs), order.map(freqs), order.map(dls),
-            if (hasPos) order.map(pos) else null)
-          blocks.grouped(PostingsCodec.BlocksPerRow).zipWithIndex.map {
-            case (grp, gi) =>
-              val df = grp.map(_.count).sum
-              val ttf = grp.map(b => BitPack.unpackInts(b.freqs, b.count).map(_.toLong).sum).sum
-              StageRow.postings(mergedSegBase + pid, term, salt * 100000 + gi, df, ttf, grp)
+      } else {
+        // purge-merge (forceMergeDeletes): postings are decoded MAP-SIDE to
+        // per-posting rows and anti-joined against the tombstone FRAME inside
+        // the shuffle — no driver-side delete set, so a 10^8-row update wave
+        // purges with bounded driver memory. Catalyst/AQE picks the join
+        // shape: a small tombstone side broadcasts (map-side filter, one
+        // shuffle total), a huge one sort-merges (fully distributed). The
+        // shuffle sort key includes docId, so each streamed (term, salt)
+        // group arrives pre-sorted and re-encodes without an in-group sort.
+        val tomb = index.deletedDocs.get.select(col("docId")).distinct()
+        val decodedRows = salted
+          .select("term", "salt", "blocks")
+          .as[(String, Int, Seq[PostingBlock])]
+          .mapPartitions { it =>
+            it.flatMap { case (t, s, blks) =>
+              blks.iterator.flatMap { b =>
+                val d = PostingsCodec.decodeBlock(b, withPositions = b.positions.nonEmpty)
+                val hasPos = d.positions.nonEmpty
+                Iterator.tabulate(d.docs.length) { i =>
+                  (t, s, d.docs(i), d.freqs(i), d.doclens(i),
+                    if (hasPos) d.positions(i) else null)
+                }
+              }
+            }
+          }.toDF("term", "salt", "docId", "freq", "dl", "pos")
+        decodedRows
+          .join(tomb.withColumnRenamed("docId", "delId"),
+            col("docId") === col("delId"), "left_anti")
+          .repartition(col("term"), col("salt"))
+          .sortWithinPartitions("term", "salt", "docId")
+          .select("term", "salt", "docId", "freq", "dl", "pos")
+          .as[(String, Int, Long, Int, Int, Array[Int])]
+          .mapPartitions { rows =>
+            val pid = TaskContext.getPartitionId()
+            val it = rows.buffered
+            new Iterator[Iterator[StageRow]] {
+              override def hasNext: Boolean = it.hasNext
+              override def next(): Iterator[StageRow] = {
+                val (term, salt, _, _, _, _) = it.head
+                val docs = new graft.core.LongBuf
+                val freqs = new graft.core.IntBuf
+                val dls = new graft.core.IntBuf
+                val pos = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+                var hasPos = false
+                while (it.hasNext && it.head._1 == term && it.head._2 == salt) {
+                  val (_, _, d, f, dl, p) = it.next()
+                  docs.add(d); freqs.add(f); dls.add(dl)
+                  if (p != null) hasPos = true
+                  pos += p
+                }
+                val n = docs.length
+                val blocks = PostingsCodec.encodeBlocks(
+                  Array.tabulate(n)(docs(_)), Array.tabulate(n)(freqs(_)),
+                  Array.tabulate(n)(dls(_)), if (hasPos) pos.toArray else null)
+                encodedRows(mergedSegBase + pid, term, salt, blocks)
+              }
+            }.flatten
           }
-          }
-        }
       }
 
     merged.toDF().withColumn("batchNs", lit(0L))
@@ -199,10 +260,22 @@ object SegmentMerger {
       // and no tombstones carry over — the forceMergeDeletes contract.
       def docsOwner(ix: InvertedIndex): InvertedIndex =
         ix.parent.map(docsOwner).getOrElse(ix)
+      val owner = docsOwner(index)
       val delDf = index.deletedDocs.get.select(col("docId").as("delId")).distinct()
-      spark.read.parquet(s"${docsOwner(index).dir}/data")
-        .filter(col("kind") === 0)
-        .join(broadcast(delDf), col("docId") === col("delId"), "left_anti")
+      val ownerDocs = {
+        val all = spark.read.parquet(s"${owner.dir}/data").filter(col("kind") === 0)
+        // pin to the SOURCE reader's committed namespaces: an uncommitted
+        // batchNs partition (crashed/in-flight micro-batch before
+        // commitAppend) or a post-open commit must not resurrect into the
+        // purged docs table — the merged postings above already read only the
+        // snapshot-filtered index.postings (ADVICE r2 #1)
+        owner.snapshot.filter(_.namespaces.nonEmpty) match {
+          case Some(sn) => all.filter(col("batchNs").isin(sn.namespaces: _*))
+          case None => all
+        }
+      }
+      ownerDocs
+        .join(delDf, col("docId") === col("delId"), "left_anti")
         .drop("delId")
         // rewritten rows all belong to the merged base namespace — keeping
         // the SOURCE batchNs would hide appended docs from the purged dir's

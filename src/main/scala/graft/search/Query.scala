@@ -54,6 +54,17 @@ final case class TermInSetQuery(terms: Set[String]) extends Query
   * `lucene/core/src/java/org/apache/lucene/search/FuzzyQuery.java:52`. */
 final case class FuzzyQuery(term: String, maxEdits: Int = 2) extends Query
 
+/** Scored fuzzy match — the reference's DEFAULT fuzzy rewrite
+  * (`lucene/core/src/java/org/apache/lucene/search/FuzzyQuery.java:60-61`
+  * `TopTermsBlendedFreqScoringRewrite`, `TopTermsRewrite.java:36`,
+  * `BlendedTermQuery.java:47`): expand to the dictionary terms within
+  * `maxEdits`, keep the top `maxExpansions` by docFreq, blend df to the max
+  * of the kept set, score each term BM25 × the edit-similarity boost
+  * `1 − dist/min(|term|, |query|)` (`FuzzyTermsEnum`'s boost attribute) and
+  * sum per doc. [[FuzzyQuery]] stays the CONSTANT_SCORE variant. */
+final case class ScoredFuzzyQuery(term: String, maxEdits: Int = 2,
+                                  maxExpansions: Int = 50) extends Query
+
 /** Terms matching a regular expression. Reference:
   * `lucene/core/src/java/org/apache/lucene/search/RegexpQuery.java:44`. */
 final case class RegexpQuery(pattern: String) extends Query

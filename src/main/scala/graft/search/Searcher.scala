@@ -1040,6 +1040,51 @@ final class Searcher(
         }
     }
 
+  /** Scored fuzzy ([[ScoredFuzzyQuery]]) — the reference's default
+    * `TopTermsBlendedFreqScoringRewrite` re-expressed dictionary-first:
+    * ONE ranked scan of `termStats` (levenshtein evaluated once per distinct
+    * term, top-N by df with term-asc tiebreak resolved IN the plan, ≤ N rows
+    * collected), then each kept term's postings scored with the blended
+    * (max) df and the edit-similarity boost, summed per doc.
+    * Ref: `lucene/core/src/java/org/apache/lucene/search/FuzzyQuery.java:60`,
+    * `TopTermsRewrite.java:36`. */
+  private def scoredFuzzyFrame(qterm: String, maxEdits: Int, maxExpansions: Int,
+                               boost: Double): DataFrame = {
+    val top: Array[(String, Long, Long)] = index.termStats
+      .filter(levenshtein(col("term"), lit(qterm)) <= maxEdits)
+      .orderBy(desc("df"), asc("term")).limit(maxExpansions)
+      .select("term", "df", "ttf")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    if (top.isEmpty) return emptyFrame
+    val blendedDf = top.map(_._2).max
+    val frames = top.toSeq.map { case (t, _, ttf) =>
+      val sim = 1.0 - editDistance(t, qterm).toDouble / math.min(t.length, qterm.length)
+      decodeScored(blocksOf(t), termScorer(TermStats(blendedDf, ttf), boost * sim))
+    }
+    disjunction(frames, 1)
+  }
+
+  /** Plain Levenshtein distance (driver-side, for the per-term boost). */
+  private def editDistance(a: String, b: String): Int = {
+    val prev = new Array[Int](b.length + 1)
+    val cur = new Array[Int](b.length + 1)
+    var j = 0
+    while (j <= b.length) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, b.length + 1)
+      i += 1
+    }
+    prev(b.length)
+  }
+
   /** The term-dictionary predicate of a multi-term (expansion) query. */
   private def expansionPred(q: Query): org.apache.spark.sql.Column = q match {
     case PrefixQuery(p) => col("term").startsWith(p)
@@ -1117,6 +1162,7 @@ final class Searcher(
     case q: TermRangeQuery => expansionFrame(expansionPred(q), boost)
     case q: TermInSetQuery => expansionFrame(expansionPred(q), boost)
     case q: FuzzyQuery => expansionFrame(expansionPred(q), boost, dictFirst = true)
+    case ScoredFuzzyQuery(t, e, n) => scoredFuzzyFrame(t, e, n, boost)
     case q: RegexpQuery => expansionFrame(expansionPred(q), boost, dictFirst = true)
     case w: WildcardQuery => compile(QueryRewriter.rewrite(w), stats, boost)
     case BoostQuery(inner, b) => compile(inner, stats, boost * b)

@@ -89,6 +89,41 @@ class MergeSpec extends AnyFunSuite {
     }
   }
 
+  test("purge-merge with 10^6+ tombstones (distributed anti-join, no driver set)") {
+    import spark.implicits._
+    // copy the fragmented index into its own dir so the shared fixture stays
+    // tombstone-free, then tombstone 1.2M ids — every odd corpus doc plus a
+    // large non-resident id range, the shape of a mass update wave. The purge
+    // path must anti-join the tombstone FRAME inside the shuffle (a driver
+    // Set of this many ids is the r2 OOM shape being regression-tested).
+    val dir = java.nio.file.Files.createTempDirectory("graft-bigtomb-").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("docId"), col("text"))
+      .repartition(4)
+      .as[InputDoc]
+    IndexBuilder.build(docs, dir, IndexConfig(graft.core.SimpleAnalyzer, flushDocBudget = 64))
+    val corpusIds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long")).as[Long].collect().sorted
+    val oddIds = corpusIds.filter(_ % 2 == 1)
+    val tombs = spark.range(10000000L, 11200000L).map(java.lang.Long.valueOf(_))
+      .union(oddIds.toSeq.map(java.lang.Long.valueOf(_)).toDS())
+    Deletes.tombstone(spark, dir, tombs)
+    val reopened = InvertedIndex.open(spark, dir)
+    assert(reopened.deletedDocs.get.count() >= 1200000L)
+    val (purged, _) = SegmentMerger.merge(reopened, dir + "-purged", computeMetrics = false)
+    // survivors: exactly the even corpus docs, with recomputed stats
+    val evenIds = corpusIds.filter(_ % 2 == 0)
+    assert(purged.docs.count() == evenIds.length)
+    assert(purged.collectionStats.docCount == evenIds.length)
+    assert(purged.deletedDocs.isEmpty)
+    // postings carry no tombstoned doc
+    val resident = new Searcher(purged).scored(MatchAllDocsQuery)
+      .select("docId").as[Long].collect().toSet
+    assert(resident == evenIds.toSet)
+    val violations = CheckIndex.check(purged)
+    assert(violations.isEmpty, violations.take(5).mkString("; "))
+  }
+
   test("merge manifest records per-partition lineage") {
     val (merged, m) = mergedPair
     val manifest = spark.read.parquet(s"${merged.dir}/merge_manifest")
