@@ -1286,37 +1286,70 @@ final class Searcher(
                   minSharedScan: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
+    // One plan row per flat term clause. kind: 0 = required (MUST/FILTER,
+    // FILTER carries boost 0 so it gates without scoring), 1 = optional
+    // (SHOULD / dismax member / constant-score expansion), 2 = MUST_NOT.
+    // Per-query constants ride on every row: nMust (#required clauses), msm
+    // (min optional matches), tie (>= 0 marks dismax combination).
     final case class Plan(queryId: String, term: String, boost: Double,
-                          nTerms: Int, requireAll: Boolean, const: Boolean)
+                          kind: Int, nMust: Int, msm: Int, tie: Double,
+                          const: Boolean)
     val plans = Vector.newBuilder[Plan]
     val expansions = Vector.newBuilder[(String, Query)]
     val phrases = Vector.newBuilder[(String, Seq[String], Int)]
     val fallback = Vector.newBuilder[(String, Query)]
+
+    // a (possibly boost-wrapped) single term — the flat-clause building block
+    def flatTerm(q: Query, mult: Double): Option[(String, Double)] = q match {
+      case TermQuery(t) => Some((t, mult))
+      case BoostQuery(inner, b) => flatTerm(inner, mult * b)
+      case _ => None
+    }
+    // route one query into shared-scan plan rows; false → caller falls back
+    def route(qid: String, q: Query, mult: Double): Boolean = q match {
+      case BoostQuery(inner, b) => route(qid, inner, mult * b)
+      case TermQuery(t) =>
+        plans += Plan(qid, t, mult, 1, 0, 0, -1.0, const = false); true
+      case BooleanQuery(clauses, msm)
+          if clauses.nonEmpty &&
+            clauses.forall { case (_, c) => flatTerm(c, 1.0).isDefined } &&
+            clauses.exists(_._1 != Occur.MUST_NOT) =>
+        val must = clauses.collect { case (Occur.MUST, c) => flatTerm(c, mult).get }
+        val filters = clauses.collect { case (Occur.FILTER, c) => flatTerm(c, 0.0).get }
+        val should = clauses.collect { case (Occur.SHOULD, c) => flatTerm(c, mult).get }
+        val nots = clauses.collect { case (Occur.MUST_NOT, c) => flatTerm(c, 1.0).get }
+        val nMust = must.size + filters.size
+        // pure disjunctions require at least one optional match (compileBoolean)
+        val msmEff = if (must.isEmpty && should.nonEmpty) math.max(msm, 1) else msm
+        (must ++ filters).foreach { case (t, b) =>
+          plans += Plan(qid, t, b, 0, nMust, msmEff, -1.0, const = false) }
+        should.foreach { case (t, b) =>
+          plans += Plan(qid, t, b, 1, nMust, msmEff, -1.0, const = false) }
+        nots.foreach { case (t, _) =>
+          plans += Plan(qid, t, 0.0, 2, nMust, msmEff, -1.0, const = false) }
+        true
+      case DisjunctionMaxQuery(members, tie)
+          if members.nonEmpty && members.forall(flatTerm(_, 1.0).isDefined) =>
+        members.foreach { m =>
+          val (t, b) = flatTerm(m, mult).get
+          plans += Plan(qid, t, b, 1, 0, 1, tie.toDouble, const = false)
+        }
+        true
+      case _ => false
+    }
     queries.foreach { case (qid, q0) =>
       // pending deletes: the shared scans read postings directly and would
       // return tombstoned docs — route through search(), which anti-joins
       // liveDocs (same policy as the pruned paths under deletions)
       if (tombstones.isDefined) fallback += ((qid, q0))
       else QueryRewriter.rewrite(q0) match {
-        case TermQuery(t) => plans += Plan(qid, t, 1.0, 1, requireAll = false, const = false)
-        case BoostQuery(TermQuery(t), b) => plans += Plan(qid, t, b, 1, requireAll = false, const = false)
-        case BooleanQuery(clauses, msm)
-            if msm <= 1 && clauses.nonEmpty &&
-              clauses.forall(_._2.isInstanceOf[TermQuery]) &&
-              (clauses.forall(_._1 == Occur.SHOULD) || clauses.forall(_._1 == Occur.MUST)) =>
-          val tsAll = clauses.map(_._2.asInstanceOf[TermQuery].term)
-          // duplicate clauses fold into the boost (scorers are boost-linear)
-          val mult = tsAll.groupBy(identity).map { case (t, g) => t -> g.size }
-          val ts = tsAll.distinct
-          val requireAll = clauses.head._1 == Occur.MUST
-          ts.foreach(t => plans += Plan(qid, t, mult(t).toDouble, ts.size, requireAll, const = false))
         case e @ (_: PrefixQuery | _: TermRangeQuery | _: TermInSetQuery |
                   _: FuzzyQuery | _: RegexpQuery) =>
           expansions += ((qid, e))
         case PhraseQuery(ts, slop) if ts.size >= 2 &&
             (slop == 0 || ts.distinct.size == ts.size) =>
           phrases += ((qid, ts, slop))
-        case other => fallback += ((qid, other))
+        case other => if (!route(qid, other, 1.0)) fallback += ((qid, other))
       }
     }
     // Adaptive routing: below minSharedScan, expansion/positional queries
@@ -1357,7 +1390,7 @@ final class Searcher(
         tooWide.foreach(fallback += _)
         val okIds = ok.map(_._1).toSet
         matched.collect { case (qid, t) if okIds(qid) =>
-          Plan(qid, t, 1.0, 1, requireAll = false, const = true) }.toSeq
+          Plan(qid, t, 1.0, 1, 0, 1, -1.0, const = true) }.toSeq
       }
     }
     val planRows = plans.result() ++ expansionRows
@@ -1372,7 +1405,10 @@ final class Searcher(
         // wanted ONLY by constant-score queries take the docs-only decode
         // (delta chain only; freqs/norms untouched — the expansion fast path)
         val scorers = present.map(t => t -> termScorer(stats(t), 1.0)).toMap
-        val sumTerms = planRows.iterator.filter(!_.const).map(_.term).toSet
+        // MUST_NOT and constant-score terms need doc ids only — skip the
+        // freq/norm decode unless some query scores the term
+        val sumTerms = planRows.iterator
+          .filter(p => !p.const && p.kind < 2).map(_.term).toSet
         val termDoc = index.postings
           .filter(col("term").isin(present: _*))
           .select(col("term"), explode(col("blocks")).as("b"))
@@ -1389,21 +1425,36 @@ final class Searcher(
             }
           }.toDF("term", "docId", "base")
         val planDf = spark.createDataFrame(planRows.map(p =>
-          (p.queryId, p.term, p.boost, p.nTerms, p.requireAll, p.const)))
-          .toDF("queryId", "term", "boost", "nTerms", "requireAll", "const")
+          (p.queryId, p.term, p.boost, p.kind, p.nMust, p.msm, p.tie, p.const)))
+          .toDF("queryId", "term", "boost", "kind", "nMust", "msm", "tie", "const")
+        // One aggregation mirrors compileBoolean exactly: MUST_NOT and FILTER
+        // rows carry boost 0 so sumScore is untouched by them; the filter
+        // enforces (all required matched) ∧ (≥ msm optional matched) ∧ (no
+        // prohibited matched). A required term absent from the index leaves
+        // nReq < nMust forever — the query matches nothing, like sumJoin.
         val perQueryDoc = termDoc
           .join(broadcast(planDf), "term")
           .groupBy(col("queryId"), col("docId"))
           .agg(sum(col("base") * col("boost")).as("sumScore"),
-            org.apache.spark.sql.functions.count(lit(1)).as("cnt"),
-            first(col("nTerms")).as("nTerms"),
-            first(col("requireAll")).as("requireAll"),
+            max(col("base") * col("boost")).as("maxScore"),
+            sum(when(col("kind") === 0, 1).otherwise(0)).as("nReq"),
+            sum(when(col("kind") === 1, 1).otherwise(0)).as("nOpt"),
+            sum(when(col("kind") === 2, 1).otherwise(0)).as("nNot"),
+            first(col("nMust")).as("nMust"),
+            first(col("msm")).as("msm"),
+            first(col("tie")).as("tie"),
             first(col("const")).as("const"),
             first(col("boost")).as("boost0"))
-          .filter(!col("requireAll") || col("cnt") === col("nTerms"))
+          .filter(col("nNot") === 0 && col("nReq") === col("nMust") &&
+            col("nOpt") >= col("msm"))
           // constant-score (expansion) queries score the DOC, not the sum of
-          // its matched terms — exactly expansionTopK's contract
-          .withColumn("score", when(col("const"), col("boost0")).otherwise(col("sumScore")))
+          // its matched terms — exactly expansionTopK's contract; dismax
+          // (tie ≥ 0) combines as max + tie·(sum − max), like compile()
+          .withColumn("score",
+            when(col("const"), col("boost0"))
+              .when(col("tie") >= 0,
+                col("maxScore") + col("tie") * (col("sumScore") - col("maxScore")))
+              .otherwise(col("sumScore")))
         Some(perQueryDoc.select(col("queryId"), col("docId"), col("score")))
       }
     // Positional queries batch through their own single scan: every phrase

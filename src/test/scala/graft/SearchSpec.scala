@@ -183,7 +183,30 @@ class SearcherSpec extends AnyFunSuite {
       "phrase_repeat" -> PhraseQuery(Seq("batch", "batch")),
       "phrase_sloppy" -> PhraseQuery(Seq("vector", "stream"), slop = 2),
       "phrase_absent" -> PhraseQuery(Seq("data", "zzznothere")),
-      "mphrase_fallback" -> MultiPhraseQuery(Seq(Seq("fast", "slow"), Seq("join", "scan"))))
+      "mphrase_fallback" -> MultiPhraseQuery(Seq(Seq("fast", "slow"), Seq("join", "scan"))),
+      // round-3 routed shapes: msm, MUST_NOT, FILTER, mixed, dismax, boosts
+      "msm2" -> BooleanQuery(Seq(
+        Occur.SHOULD -> TermQuery("vector"), Occur.SHOULD -> TermQuery("stream"),
+        Occur.SHOULD -> TermQuery("data")), minimumShouldMatch = 2),
+      "mustnot" -> BooleanQuery(Seq(
+        Occur.MUST -> TermQuery("data"), Occur.MUST_NOT -> TermQuery("dup"))),
+      "filter" -> BooleanQuery(Seq(
+        Occur.MUST -> TermQuery("spark"), Occur.FILTER -> TermQuery("data"))),
+      "filter_only" -> BooleanQuery(Seq(Occur.FILTER -> TermQuery("spark"))),
+      "mixed" -> BooleanQuery(Seq(
+        Occur.MUST -> TermQuery("data"), Occur.SHOULD -> TermQuery("spark"),
+        Occur.SHOULD -> TermQuery("stream"))),
+      "mixed_msm" -> BooleanQuery(Seq(
+        Occur.MUST -> TermQuery("data"), Occur.SHOULD -> TermQuery("spark"),
+        Occur.SHOULD -> TermQuery("stream")), minimumShouldMatch = 1),
+      "boost_bool" -> BoostQuery(BooleanQuery.should(
+        TermQuery("vector"), BoostQuery(TermQuery("stream"), 3f)), 2f),
+      "dismax" -> DisjunctionMaxQuery(
+        Seq(TermQuery("spark"), TermQuery("dup")), tieBreaker = 0.3f),
+      "dismax0" -> DisjunctionMaxQuery(
+        Seq(TermQuery("vector"), BoostQuery(TermQuery("stream"), 2f)), tieBreaker = 0f),
+      "mustnot_absent" -> BooleanQuery(Seq(
+        Occur.MUST -> TermQuery("data"), Occur.MUST_NOT -> TermQuery("zzznothere"))))
     // both routings: shared-scan forced (minSharedScan=0) and the default
     // adaptive routing (small counts -> per-query pruned paths)
     Seq(0, 32).foreach { minShared =>
