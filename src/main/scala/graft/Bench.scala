@@ -123,8 +123,11 @@ object Bench {
     var qs = "{}"
     var total = 0.0
     var prepSec = 0.0
+    var evQueries = ""
     if (doQueries) {
       val spark1 = session(cpus, cpus)
+      val probe1 = new TaskProbe(spark1)
+      val tPhase1 = System.nanoTime()
       // build the shared documents index up front so per-query seconds
       // measure the QUERY, not whichever query happens to run first in the
       // per-process Indexes cache; variant-index builds (stop/title/deletes/
@@ -142,6 +145,10 @@ object Bench {
         try { fn(spark1, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
+      // same environment evidence as phase 2, so a throttled/contended box is
+      // diagnosable for the per-query numbers too (r2 verdict: phases 1 and 3
+      // carried none, so a 4.5x serving discrepancy couldn't be adjudicated)
+      evQueries = probe1.json((System.nanoTime() - tPhase1) / 1e9)
       spark1.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -175,6 +182,8 @@ object Bench {
       // ---- phase 3: BM25 top-k p95 latency on the merged index built by
       // the 32-core phase-2 run (same corpus — no redundant rebuild)
       val spark3 = session(32, 32, smallScanBatch = true)
+      val probe3 = new TaskProbe(spark3)
+      val tPhase3 = System.nanoTime()
       // serving mode: postings + stats pinned in cluster cache (the
       // page-cache-resident index analog) — queries scan memory, not parquet
       val midx = graft.index.InvertedIndex.open(spark3, mergedDir).warm()
@@ -194,6 +203,7 @@ object Bench {
       val batchRows = searcher.searchBatch(
         queries.zipWithIndex.map { case (q, i) => (s"q$i", q) }, 10).count()
       val batchSec = (System.nanoTime() - tb) / 1e9
+      val evServing = probe3.json((System.nanoTime() - tPhase3) / 1e9)
       spark3.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -206,10 +216,12 @@ object Bench {
         f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_n8_n32_hw_bound":$effHw%.3f,""" +
         s""""evidence_n2":{$ev2},"evidence_n8":{$evN},"evidence_n32":{$ev4N}},""" +
         f""""bm25_topk":{"n_queries":${lat.size},"p50_ms":$p50%.0f,"p95_ms":$p95%.0f,""" +
-        f""""batch_all_sec":$batchSec%.2f,"batch_rows":$batchRows}"""
+        f""""batch_all_sec":$batchSec%.2f,"batch_rows":$batchRows,""" +
+        s""""evidence_serving":{$evServing}}"""
     }
 
-    val json = f"""{"metric":"total","value":$total,"unit":"sec","prep_sec":$prepSec%.2f,"queries":$qs,"sf":"$sfDir"$scalingJson}"""
+    val evQ = if (evQueries.nonEmpty) s""","evidence_queries":{$evQueries}""" else ""
+    val json = f"""{"metric":"total","value":$total,"unit":"sec","prep_sec":$prepSec%.2f,"queries":$qs,"sf":"$sfDir"$evQ$scalingJson}"""
     // sbt's [info]/[error] stdout prefixes broke driver parsing of r1; the
     // file copy is the machine-readable channel
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")

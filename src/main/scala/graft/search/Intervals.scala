@@ -61,28 +61,26 @@ object IntervalEval extends Serializable {
   /** (start, end) token positions, inclusive. */
   type Interval = (Int, Int)
 
-  /** number of leaf positions a source consumes (for maxgaps) */
-  private def leafCount(src: IntervalsSource): Int = src match {
-    case Intervals.Term(_) => 1
-    case Intervals.Phrase(ts) => ts.size
-    case Intervals.Ordered(ss) => ss.map(leafCount).sum
-    case Intervals.Unordered(ss) => ss.map(leafCount).sum
-    case Intervals.Or(ss) => ss.map(leafCount).max
-    case Intervals.MaxWidth(_, s) => leafCount(s)
-    case Intervals.MaxGaps(_, s) => leafCount(s)
-    case Intervals.Containing(big, _) => leafCount(big)
-    case Intervals.ContainedBy(small, _) => leafCount(small)
-  }
+  /** Interval plus the leaf-position count of the sub-iterators that
+    * ACTUALLY matched it — `Or` alternatives with different arity would
+    * otherwise mis-count gaps (a match through a 2-leaf branch has
+    * `width − 2` gaps regardless of a 3-leaf sibling; the reference derives
+    * gaps from the matched sub-iterators, not a static source bound). */
+  private type IntervalL = (Int, Int, Int)
 
   /** Keep only minimal intervals: drop any interval that properly contains
-    * another. Input arbitrary; output sorted by (start, end), distinct. */
-  private def minimalize(xs: Seq[Interval]): Vector[Interval] = {
+    * another. Same-span duplicates keep the MAX leaf count (fewest gaps —
+    * a span passes maxgaps if SOME realization of it does). Output sorted
+    * by (start, end). */
+  private def minimalize(xs: Seq[IntervalL]): Vector[IntervalL] = {
     if (xs.isEmpty) return Vector.empty
+    val dedup = xs.groupBy(iv => (iv._1, iv._2))
+      .map { case ((a, b), g) => (a, b, g.map(_._3).max) }.toSeq
     // sort start asc, end DESC (so a same-start wider interval precedes the
     // tighter one), then sweep right-to-left: an interval survives iff its
     // end is strictly below every survivor that starts at-or-after it
-    val sorted = xs.distinct.sortBy { case (a, b) => (a, -b) }
-    val out = mutable.ArrayBuffer.empty[Interval]
+    val sorted = dedup.sortBy { case (a, b, _) => (a, -b) }
+    val out = mutable.ArrayBuffer.empty[IntervalL]
     var minEnd = Int.MaxValue
     var i = sorted.length - 1
     while (i >= 0) {
@@ -90,64 +88,64 @@ object IntervalEval extends Serializable {
       if (iv._2 < minEnd) { out += iv; minEnd = iv._2 }
       i -= 1
     }
-    out.sortBy(identity).toVector
+    out.sortBy(iv => (iv._1, iv._2)).toVector
   }
 
-  /** Minimal matching intervals of `src` in a doc given its per-term sorted
-    * position arrays. */
-  def eval(src: IntervalsSource, positions: Map[String, Array[Int]]): Vector[Interval] = src match {
+  private def evalL(src: IntervalsSource, positions: Map[String, Array[Int]]): Vector[IntervalL] = src match {
     case Intervals.Term(t) =>
-      positions.get(t).map(_.toVector.map(p => (p, p))).getOrElse(Vector.empty)
+      positions.get(t).map(_.toVector.map(p => (p, p, 1))).getOrElse(Vector.empty)
 
     case Intervals.Phrase(ts) =>
       val lists = ts.map(t => positions.getOrElse(t, Array.empty[Int]))
       if (lists.exists(_.isEmpty)) Vector.empty
       else lists.head.toVector.collect {
         case p if ts.indices.tail.forall(i => java.util.Arrays.binarySearch(lists(i), p + i) >= 0) =>
-          (p, p + ts.size - 1)
+          (p, p + ts.size - 1, ts.size)
       }
 
     case Intervals.Or(ss) =>
-      minimalize(ss.flatMap(s => eval(s, positions)))
+      minimalize(ss.flatMap(s => evalL(s, positions)))
 
     case Intervals.Ordered(ss) =>
       // fold: extend each accumulated interval with the next child's
       // intervals that start strictly after it ends; for each child interval
       // pick the LATEST-ending compatible prefix (tightest start) —
       // minimalize at each step
-      ss.map(s => eval(s, positions)).reduceLeft { (acc, next) =>
+      ss.map(s => evalL(s, positions)).reduceLeft { (acc, next) =>
         if (acc.isEmpty || next.isEmpty) Vector.empty
-        else minimalize(next.flatMap { case (cs, ce) =>
+        else minimalize(next.flatMap { case (cs, ce, cl) =>
           // latest acc interval fully before cs (max start among end < cs)
           val before = acc.filter(_._2 < cs)
           if (before.isEmpty) None
           else {
             val best = before.maxBy(iv => (iv._1, iv._2))
-            Some((best._1, ce))
+            Some((best._1, ce, best._3 + cl))
           }
         })
       }
 
     case Intervals.Unordered(ss) =>
-      val lists = ss.map(s => eval(s, positions))
+      val lists = ss.map(s => evalL(s, positions))
       if (lists.exists(_.isEmpty)) Vector.empty
       else {
         // smallest-range style sweep: one candidate interval per choice of
         // the minimal-start element; advance the list holding the min start
         val idx = Array.fill(lists.size)(0)
-        val out = mutable.ArrayBuffer.empty[Interval]
+        val out = mutable.ArrayBuffer.empty[IntervalL]
         var done = false
         while (!done) {
           var minStart = Int.MaxValue; var minList = -1
           var maxEnd = Int.MinValue
+          var leaves = 0
           var i = 0
           while (i < lists.size) {
             val iv = lists(i)(idx(i))
             if (iv._1 < minStart) { minStart = iv._1; minList = i }
             if (iv._2 > maxEnd) maxEnd = iv._2
+            leaves += iv._3
             i += 1
           }
-          out += ((minStart, maxEnd))
+          out += ((minStart, maxEnd, leaves))
           idx(minList) += 1
           if (idx(minList) >= lists(minList).length) done = true
         }
@@ -155,25 +153,29 @@ object IntervalEval extends Serializable {
       }
 
     case Intervals.MaxWidth(w, s) =>
-      eval(s, positions).filter { case (a, b) => b - a + 1 <= w }
+      evalL(s, positions).filter { case (a, b, _) => b - a + 1 <= w }
 
     case Intervals.MaxGaps(g, s) =>
-      val k = leafCount(s)
-      eval(s, positions).filter { case (a, b) => (b - a + 1) - k <= g }
+      evalL(s, positions).filter { case (a, b, k) => (b - a + 1) - k <= g }
 
     case Intervals.Containing(big, small) =>
-      val smalls = eval(small, positions)
-      eval(big, positions).filter { case (a, b) =>
-        smalls.exists { case (sa, sb) => a <= sa && sb <= b }
+      val smalls = evalL(small, positions)
+      evalL(big, positions).filter { case (a, b, _) =>
+        smalls.exists { case (sa, sb, _) => a <= sa && sb <= b }
       }
 
     case Intervals.ContainedBy(small, big) =>
-      val bigs = eval(big, positions)
-      eval(small, positions).filter { case (sa, sb) =>
-        bigs.exists { case (a, b) => a <= sa && sb <= b }
+      val bigs = evalL(big, positions)
+      evalL(small, positions).filter { case (sa, sb, _) =>
+        bigs.exists { case (a, b, _) => a <= sa && sb <= b }
       }
   }
 
+  /** Minimal matching intervals of `src` in a doc given its per-term sorted
+    * position arrays. */
+  def eval(src: IntervalsSource, positions: Map[String, Array[Int]]): Vector[Interval] =
+    evalL(src, positions).map(iv => (iv._1, iv._2))
+
   def matches(src: IntervalsSource, positions: Map[String, Array[Int]]): Boolean =
-    eval(src, positions).nonEmpty
+    evalL(src, positions).nonEmpty
 }

@@ -109,6 +109,40 @@ object Monitor {
         s"monitor does not support query type ${other.getClass.getSimpleName}")
   }
 
+  /** Driver-side registration validation: reject rule shapes [[matches]]
+    * cannot evaluate BEFORE any document streams through, so one bad rule
+    * fails its own registration call — never a whole micro-batch on the
+    * executors. Every percolation entry point validates its rule set; the
+    * throws inside [[matches]] stay as a backstop for unvalidated callers. */
+  def validate(q: Query): Unit = q match {
+    case PhraseQuery(ts, slop) if slop > 0 && (ts.size < 2 || ts.distinct.size != ts.size) =>
+      throw new IllegalArgumentException(
+        s"unsupported monitor rule: sloppy phrases need >= 2 pairwise-distinct terms (got $ts)")
+    case _: DocIdRangeQuery =>
+      throw new IllegalArgumentException(
+        "unsupported monitor rule: DocIdRangeQuery cannot be percolated (per-document matching has no doc id)")
+    case _: ScoredFuzzyQuery =>
+      throw new IllegalArgumentException(
+        "unsupported monitor rule: ScoredFuzzyQuery needs index-wide term stats; register FuzzyQuery instead")
+    case BoostQuery(inner, _) => validate(inner)
+    case ConstantScoreQuery(inner) => validate(inner)
+    case DisjunctionMaxQuery(ds, _) => ds.foreach(validate)
+    case BooleanQuery(clauses, _) => clauses.foreach { case (_, c) => validate(c) }
+    case MatchAllDocsQuery | MatchNoDocsQuery => ()
+    case _: TermQuery | _: SynonymQuery | _: TermInSetQuery | _: PrefixQuery |
+         _: WildcardQuery | _: RegexpQuery | _: FuzzyQuery | _: TermRangeQuery |
+         _: PhraseQuery | _: MultiPhraseQuery | _: SpanNearQuery | _: IntervalQuery => ()
+  }
+
+  private def validateAll(queries: Seq[(String, Query)]): Unit =
+    queries.foreach { case (qid, q) =>
+      try validate(q)
+      catch {
+        case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"rule '$qid': ${e.getMessage}", e)
+      }
+    }
+
   /** Guard terms of a query: a set such that EVERY matching document must
     * contain at least one of them, or None when no such set exists (pure
     * negations, match-all, term-expansion predicates). The presearcher
@@ -155,6 +189,7 @@ object Monitor {
     * the win is per-doc candidate count at rule sets ≥ ~10^4. */
   def percolatePresearched(docs: Dataset[(Long, String)], queries: Seq[(String, Query)],
                            analyzer: Analyzer): DataFrame = {
+    validateAll(queries)
     val spark = docs.sparkSession
     import spark.implicits._
     val guarded = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
@@ -194,6 +229,7 @@ object Monitor {
     * registered query: `(docId, queryId)`. */
   def percolate(docs: Dataset[(Long, String)], queries: Seq[(String, Query)],
                 analyzer: Analyzer): DataFrame = {
+    validateAll(queries)
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast((queries, analyzer))
@@ -207,10 +243,12 @@ object Monitor {
   /** Streaming percolation: emits `(docId, queryId)` matches per micro-batch
     * through `sink` (the `Monitor.match(Document...)` continuous flow). */
   def start(docs: Dataset[(Long, String)], queries: Seq[(String, Query)],
-            analyzer: Analyzer)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+            analyzer: Analyzer)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    validateAll(queries)
     docs.writeStream
       .foreachBatch { (batch: Dataset[(Long, String)], batchId: Long) =>
         sink(percolate(batch, queries, analyzer), batchId)
       }
       .start()
+  }
 }

@@ -49,6 +49,19 @@ class IntervalsSpec extends AnyFunSuite {
     assert(IntervalEval.eval(MaxGaps(1, o), p).isEmpty)
   }
 
+  test("maxgaps over or: gaps counted from the MATCHED alternative's leaves") {
+    // or(phrase(a b), c) then d: via the 1-leaf branch c(0) .. d(2) the
+    // interval (0,2) has 2 matched leaves -> 1 gap; a static per-source max
+    // (3 leaves) would call it 0 gaps and wrongly pass maxgaps(0)
+    val p = pos("a" -> Seq(), "b" -> Seq(), "c" -> Seq(0), "d" -> Seq(2))
+    val src = Ordered(Seq(Or(Seq(Phrase(Seq("a", "b")), Term("c"))), Term("d")))
+    assert(IntervalEval.eval(MaxGaps(1, src), p) == Vector((0, 2)))
+    assert(IntervalEval.eval(MaxGaps(0, src), p).isEmpty)
+    // via the 2-leaf phrase branch the same window is gapless: a(0) b(1) d(2)
+    val p2 = pos("a" -> Seq(0), "b" -> Seq(1), "c" -> Seq(), "d" -> Seq(2))
+    assert(IntervalEval.eval(MaxGaps(0, src), p2) == Vector((0, 2)))
+  }
+
   test("doc-match equivalence vs brute force: maxwidth(ordered(a,b)) and unordered window") {
     val rnd = new Random(17)
     (0 until 2000).foreach { _ =>

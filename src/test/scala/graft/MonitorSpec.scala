@@ -91,4 +91,33 @@ class MonitorSpec extends AnyFunSuite {
     assert(byDoc(900L).contains("span"))
     assert(!byDoc.contains(901L))
   }
+
+  test("unsupported rules fail at registration, not the micro-batch") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c")).toDS()
+    // each bad shape rejected driver-side with the rule id in the message,
+    // even nested inside boolean/boost wrappers
+    val bad: Seq[(String, Query)] = Seq(
+      "sloppy_repeat" -> PhraseQuery(Seq("a", "a"), slop = 2),
+      "docid" -> DocIdRangeQuery(TermQuery("a"), 0, 10),
+      "nested" -> BooleanQuery.must(TermQuery("a"),
+        BoostQuery(PhraseQuery(Seq("x", "x"), slop = 1), 2f)))
+    bad.foreach { case (qid, q) =>
+      val e = intercept[IllegalArgumentException] {
+        Monitor.percolate(docs, Seq(qid -> q), SimpleAnalyzer)
+      }
+      assert(e.getMessage.contains(qid), s"message should name the rule: ${e.getMessage}")
+      val e2 = intercept[IllegalArgumentException] {
+        Monitor.percolatePresearched(docs, Seq(qid -> q), SimpleAnalyzer)
+      }
+      assert(e2.getMessage.contains(qid))
+    }
+    // a good rule set containing every supported shape still registers
+    val ok: Seq[(String, Query)] = Seq(
+      "t" -> TermQuery("a"),
+      "sloppy_ok" -> PhraseQuery(Seq("a", "b"), slop = 2),
+      "exact_repeat_ok" -> PhraseQuery(Seq("a", "a"), slop = 0))
+    assert(Monitor.percolate(docs, ok, SimpleAnalyzer).count() >= 1)
+  }
 }
