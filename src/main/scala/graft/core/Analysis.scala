@@ -96,13 +96,125 @@ object SimpleAnalyzer extends Analyzer {
   }
 }
 
-/** UAX#29-style word segmentation via the JDK's `java.text.BreakIterator`
-  * (which implements Unicode word break rules), then lowercase, then an
+/** UAX#29 word-break-class scanner — a direct rule implementation of the
+  * segmentation the reference's generated JFlex DFA encodes
+  * (`lucene/core/src/java/org/apache/lucene/analysis/standard/StandardTokenizerImpl.jflex`):
+  * letter/digit runs with MidLetter / MidNum / MidNumLet / Single_Quote
+  * joiners (WB6-12), ExtendNumLet bridging (WB13a/b), Extend/Format/ZWJ
+  * transparency (WB4), per-character Han and Hiragana tokens, Katakana runs.
+  * Fidelity is pinned by `TokenizerFixtureSpec` against a golden corpus
+  * produced by the reference's real scanner. */
+private[core] object Uax29 {
+  final val Break = 0; final val ALetter = 1; final val Numeric = 2
+  final val MidLetter = 3; final val MidNum = 4; final val MidNumLet = 5
+  final val SQ = 6; final val ENL = 7; final val Ignore = 8
+  final val Han = 9; final val Hira = 10; final val Kata = 11
+
+  def cls(cp: Int): Int = cp match {
+    case 0x200B => Break // ZWSP is a break opportunity, NOT Format (UAX#29)
+    case 0x3A | 0xB7 | 0x387 | 0x5F4 | 0x2027 | 0xFE13 | 0xFE55 | 0xFF1A => MidLetter
+    case 0x2C | 0x3B | 0x66B | 0x66C | 0xFE50 | 0xFE54 | 0xFF0C | 0xFF1B => MidNum
+    case 0x2E | 0x2019 | 0x2024 | 0xFE52 | 0xFF0E => MidNumLet
+    case 0x27 => SQ
+    case 0x30FC | 0x30A0 => Kata // prolonged-sound mark etc.: WB class Katakana
+    case _ =>
+      val t = Character.getType(cp)
+      if (t == Character.CONNECTOR_PUNCTUATION) ENL
+      else if (t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK ||
+        t == Character.ENCLOSING_MARK || t == Character.FORMAT) Ignore
+      else if (Character.isDigit(cp)) Numeric // Nd only: sub/superscripts break
+      else if (Character.isLetter(cp) || t == Character.LETTER_NUMBER) {
+        val sc = Character.UnicodeScript.of(cp)
+        if (sc == Character.UnicodeScript.HAN) Han
+        else if (sc == Character.UnicodeScript.HIRAGANA) Hira
+        else if (sc == Character.UnicodeScript.KATAKANA) Kata
+        else ALetter
+      } else Break
+  }
+
+  /** Emit each word span `(start, end)`; spans include interior joiners and
+    * attached Extend/Format characters, exactly like the JFlex matches. */
+  def scan(text: String, emit: (Int, Int) => Unit): Unit = {
+    val n = text.length
+    // skip Extend/Format/ZWJ (WB4 transparency) forward from j
+    def skipIgnore(j0: Int): Int = {
+      var j = j0
+      while (j < n) {
+        val cp = text.codePointAt(j)
+        if (cls(cp) == Ignore) j += Character.charCount(cp) else return j
+      }
+      j
+    }
+    var i = 0
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val c = cls(cp)
+      val cc = Character.charCount(cp)
+      if (c == Han || c == Hira) {
+        // one token per ideograph / hiragana char (WB999 between them)
+        val e = skipIgnore(i + cc)
+        emit(i, e)
+        i = e
+      } else if (c == ALetter || c == Numeric || c == ENL || c == Kata) {
+        val start = i
+        var last = c // class of the last word char consumed
+        var j = skipIgnore(i + cc)
+        var grow = true
+        while (grow && j < n) {
+          val cp2 = text.codePointAt(j)
+          val c2 = cls(cp2)
+          val cc2 = Character.charCount(cp2)
+          c2 match {
+            case ALetter | Numeric => // WB5/8/9/10; Katakana doesn't chain into them
+              if (last == Kata) grow = false
+              else { last = c2; j = skipIgnore(j + cc2) }
+            case Kata => // WB13 Katakana x Katakana; WB13b ENL x Katakana
+              if (last == Kata || last == ENL) { last = c2; j = skipIgnore(j + cc2) }
+              else grow = false
+            case ENL => // WB13a: (ALetter|Numeric|Katakana|ENL) x ENL
+              last = c2; j = skipIgnore(j + cc2)
+            case MidLetter | MidNum | MidNumLet | SQ => // WB6/7/11/12: need both sides
+              val k = skipIgnore(j + cc2)
+              val c3 = if (k < n) cls(text.codePointAt(k)) else Break
+              val joins = c2 match {
+                case MidLetter | SQ => last == ALetter && c3 == ALetter
+                case MidNum => last == Numeric && c3 == Numeric
+                case _ => (last == ALetter && c3 == ALetter) ||
+                  (last == Numeric && c3 == Numeric)
+              }
+              if (joins) { last = c3; j = skipIgnore(k + Character.charCount(text.codePointAt(k))) }
+              else grow = false
+            case _ => grow = false
+          }
+        }
+        // a bare ExtendNumLet run is not a word (JFlex requires >= 1 alnum)
+        var hasAlnum = false
+        var t = start
+        while (!hasAlnum && t < j) {
+          val cpT = text.codePointAt(t)
+          val cT = cls(cpT)
+          if (cT == ALetter || cT == Numeric || cT == Kata) hasAlnum = true
+          t += Character.charCount(cpT)
+        }
+        if (hasAlnum) emit(start, j)
+        i = j
+      } else {
+        i += cc
+      }
+    }
+  }
+}
+
+/** UAX#29 word segmentation (see [[Uax29]]), then lowercase, then an
   * optional stop set — the shape of the reference's `StandardAnalyzer`
   * (`lucene/core/src/java/org/apache/lucene/analysis/standard/StandardAnalyzer.java:37`,
   * default stop set EMPTY per `StandardAnalyzer.java:51-53`).
-  * Tokens longer than `maxTokenLength` (default 255, reference
-  * `StandardTokenizer.java:84`) are split.
+  * Tokens longer than `maxTokenLength` (default 255) are split into
+  * maxTokenLength-char chunks, all kept — the reference's empirical default
+  * behavior (the scanner buffer is sized to maxTokenLength,
+  * `StandardTokenizer.java:101-104`, so the DFA's match is truncated at
+  * buffer capacity and the remainder scans as a fresh token; golden fixture
+  * line "before a*300 after" shows 255 + 45, both emitted).
   */
 final case class StandardLikeAnalyzer(
     stopWords: Set[String] = Set.empty,
@@ -111,41 +223,22 @@ final case class StandardLikeAnalyzer(
 
   override def tokenize(text: String): IndexedSeq[Token] = {
     val out = Vector.newBuilder[Token]
-    val it = java.text.BreakIterator.getWordInstance(java.util.Locale.ROOT)
-    it.setText(text)
-    var start = it.first()
-    var end = it.next()
     var pos = 0
-    while (end != java.text.BreakIterator.DONE) {
-      if (isWord(text, start, end)) {
-        var s = start
-        while (s < end) { // split over-long tokens like the reference
-          val e = math.min(s + maxTokenLength, end)
-          val term = text.substring(s, e).toLowerCase(java.util.Locale.ROOT)
-          if (stopWords.contains(term)) {
-            pos += 1 // stop filter: drop token, keep the position increment
-          } else {
-            out += Token(term, pos)
-            pos += 1
-          }
-          s = e
+    Uax29.scan(text, (start, end) => {
+      var s = start
+      while (s < end) { // split over-long matches at buffer capacity
+        val e = math.min(s + maxTokenLength, end)
+        val term = text.substring(s, e).toLowerCase(java.util.Locale.ROOT)
+        if (stopWords.contains(term)) {
+          pos += 1 // stop filter: drop token, keep the position increment
+        } else {
+          out += Token(term, pos)
+          pos += 1
         }
+        s = e
       }
-      start = end
-      end = it.next()
-    }
+    })
     out.result()
-  }
-
-  /** A boundary-delimited region is a word if it contains a letter or digit. */
-  private def isWord(text: String, start: Int, end: Int): Boolean = {
-    var i = start
-    while (i < end) {
-      val cp = text.codePointAt(i)
-      if (Character.isLetterOrDigit(cp)) return true
-      i += Character.charCount(cp)
-    }
-    false
   }
 }
 
