@@ -133,6 +133,32 @@ object Indexes {
       IndexBuilder.build(docs, dir, IndexConfig(GermanAnalyzer(), withPositions = true))
     })
 
+  /** `lang='fr'` slice through the French chain ([[graft.core.FrenchAnalyzer]]:
+    * tokenize → lowercase → elision → stop(FR) → light stem). */
+  def frenchIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#fr", {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-fr-").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("lang") === "fr")
+        .select(col("doc_id").as("docId"), col("text"))
+        .as[InputDoc]
+      IndexBuilder.build(docs, dir, IndexConfig(FrenchAnalyzer(), withPositions = true))
+    })
+
+  /** `lang='es'` slice through the Spanish chain ([[graft.core.SpanishAnalyzer]]:
+    * tokenize → lowercase → stop(ES) → light stem). */
+  def spanishIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#es", {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-es-").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("lang") === "es")
+        .select(col("doc_id").as("docId"), col("text"))
+        .as[InputDoc]
+      IndexBuilder.build(docs, dir, IndexConfig(SpanishAnalyzer(), withPositions = true))
+    })
+
   /** Documents index built in TWO snapshot commits: v1 = the even doc ids
     * (base build), v2 = the odd half appended as a micro-batch. Opening
     * `asOf = Some(1)` time-travels to the pre-append state; the latest view
@@ -503,6 +529,20 @@ object SparkEntry {
       // by the combined surface-form frequencies with slice-local statistics
       topk(new Searcher(Indexes.germanIndex(s, dir), ScoringMode.PreciseBM25())
         .scored(TermQuery("lin")), 10)
+    }),
+    "q75_french_stem" -> ((s, dir) => {
+      // French chain on the lang='fr' slice: 'tables'→'tabl' (es-rule) and
+      // 'table'→'tabl' (e-rule) conflate, ranked with slice-local stats
+      topk(new Searcher(Indexes.frenchIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("tabl")), 10)
+    }),
+    "q76_spanish_stem" -> ((s, dir) => {
+      // Spanish chain on the lang='es' slice: 'windows'→'window' (s-rule is
+      // guarded behind the vowel rules) and 'columns'→'column' stay apart
+      // from 'columna'→'column'... use 'stream': 'streams'→'stream' (vowel+s
+      // rule n/a, bare s-rule) and 'stream' fixed point
+      topk(new Searcher(Indexes.spanishIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("stream")), 10)
     })
   ) ++ graft.pipeline.PipelineQueries.queries
 
@@ -521,6 +561,39 @@ object SparkEntry {
   /** SQL literal list of the German stop set (q74's German-chain index). */
   private val GermanStopList: String =
     Analyzers.GermanStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+
+  /** SQL literal lists for the French chain (q75): stop set + elision
+    * articles (dropped before position assignment, unlike stop words). */
+  private val FrenchStopList: String =
+    Analyzers.FrenchStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val FrenchElisionList: String =
+    Seq("l", "m", "t", "qu", "n", "s", "j", "d", "c", "jusqu", "quoiqu",
+      "lorsqu", "puisqu").sorted.map(w => s"'$w'").mkString(", ")
+
+  /** SQL literal list of the Spanish stop set (q76). */
+  private val SpanishStopList: String =
+    Analyzers.SpanishStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+
+  /** [[graft.core.FrenchLightStem]] as SQL (ASCII corpus: fold = identity). */
+  private def frenchStemSql(t: String): String =
+    s"""CASE
+       |  WHEN length($t) >= 6 AND $t LIKE '%aux' THEN substr($t, 1, length($t) - 3) || 'al'
+       |  WHEN length($t) >= 5 AND $t LIKE '%x' THEN substr($t, 1, length($t) - 1)
+       |  WHEN length($t) >= 6 AND $t LIKE '%ent' THEN substr($t, 1, length($t) - 3)
+       |  WHEN length($t) >= 5 AND $t LIKE '%es' THEN substr($t, 1, length($t) - 2)
+       |  WHEN length($t) >= 4 AND $t LIKE '%s' THEN substr($t, 1, length($t) - 1)
+       |  WHEN length($t) >= 4 AND $t LIKE '%e' THEN substr($t, 1, length($t) - 1)
+       |  ELSE $t END""".stripMargin
+
+  /** [[graft.core.SpanishLightStem]] as SQL (ASCII corpus: fold = identity). */
+  private def spanishStemSql(t: String): String =
+    s"""CASE
+       |  WHEN length($t) >= 5 AND ($t LIKE '%os' OR $t LIKE '%as' OR $t LIKE '%es')
+       |    THEN substr($t, 1, length($t) - 2)
+       |  WHEN length($t) >= 4 AND ($t LIKE '%o' OR $t LIKE '%a' OR $t LIKE '%e')
+       |    THEN substr($t, 1, length($t) - 1)
+       |  WHEN length($t) >= 4 AND $t LIKE '%s' THEN substr($t, 1, length($t) - 1)
+       |  ELSE $t END""".stripMargin
 
   /** The engine's German light stemmer ([[graft.core.GermanLightStem]]) as a
     * SQL CASE over an ASCII token column (the corpus is pure ASCII, so the
@@ -1220,6 +1293,64 @@ object SparkEntry {
          |           / (SELECT count(*) FROM documents WHERE lang = 'de') AS avgdl
          |)
          |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("lin")}) scored
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // French chain on the lang='fr' slice: tokenize → elision strip (no
+    // position consumed — irrelevant to term scoring) → stop(FR, surface
+    // form) → light stem; statistics slice-local like q74
+    "q75_french_stem" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+         |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+         |  FROM documents WHERE lang = 'fr'
+         |), toks0 AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+         |  FROM raw WHERE term <> ''
+         |), toks AS (
+         |  SELECT doc_id, ${frenchStemSql("term")} AS term, pos
+         |  FROM toks0
+         |  WHERE term NOT IN ($FrenchElisionList) AND term NOT IN ($FrenchStopList)
+         |), quant(q) AS (
+         |  SELECT * FROM (VALUES $QuantValues)
+         |), dl0 AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), dl AS (
+         |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM documents WHERE lang = 'fr') AS n,
+         |         (SELECT sum(dl) FROM dl0)::DOUBLE
+         |           / (SELECT count(*) FROM documents WHERE lang = 'fr') AS avgdl
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("tabl")}) scored
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Spanish chain on the lang='es' slice: tokenize → stop(ES, surface
+    // form) → light stem; statistics slice-local like q74
+    "q76_spanish_stem" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+         |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+         |  FROM documents WHERE lang = 'es'
+         |), toks0 AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+         |  FROM raw WHERE term <> ''
+         |), toks AS (
+         |  SELECT doc_id, ${spanishStemSql("term")} AS term, pos
+         |  FROM toks0 WHERE term NOT IN ($SpanishStopList)
+         |), quant(q) AS (
+         |  SELECT * FROM (VALUES $QuantValues)
+         |), dl0 AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), dl AS (
+         |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM documents WHERE lang = 'es') AS n,
+         |         (SELECT sum(dl) FROM dl0)::DOUBLE
+         |           / (SELECT count(*) FROM documents WHERE lang = 'es') AS avgdl
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("stream")}) scored
          |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
   ) ++ graft.pipeline.PipelineQueries.oracleSql
 }

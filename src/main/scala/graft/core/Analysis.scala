@@ -51,12 +51,31 @@ object Analyzers {
     "er", "es", "für", "im", "in", "ist", "mit", "nicht", "oder", "sie",
     "sind", "über", "und", "unter", "von", "war", "wird", "zu", "zum", "zur")
 
+  /** High-frequency subset of the snowball French stop list the reference
+    * ships as `french_stop.txt`
+    * (`lucene/analysis/common/src/resources/org/apache/lucene/analysis/snowball/french_stop.txt`). */
+  val FrenchStopWords: Set[String] = Set(
+    "au", "aux", "avec", "ce", "ces", "dans", "de", "des", "du", "elle",
+    "en", "et", "est", "il", "ils", "je", "la", "le", "les", "leur", "lui",
+    "mais", "même", "ne", "nous", "on", "ou", "où", "par", "pas", "pour",
+    "que", "qui", "sa", "se", "ses", "son", "sur", "un", "une", "vous")
+
+  /** High-frequency subset of the snowball Spanish stop list the reference
+    * ships as `spanish_stop.txt`. */
+  val SpanishStopWords: Set[String] = Set(
+    "al", "como", "con", "de", "del", "el", "ella", "ellos", "en", "es",
+    "esta", "este", "ha", "la", "las", "le", "les", "lo", "los", "más",
+    "mi", "no", "nos", "o", "para", "pero", "por", "que", "se", "si",
+    "sin", "sobre", "su", "sus", "también", "un", "una", "uno", "y", "ya")
+
   def byName(name: String): Analyzer = name match {
     case "simple"         => SimpleAnalyzer
     case "standard"       => StandardLikeAnalyzer()
     case "simple-en-stop" => SimpleStopAnalyzer(EnglishStopWords)
     case "english"        => EnglishAnalyzer()
     case "german"         => GermanAnalyzer()
+    case "french"         => FrenchAnalyzer()
+    case "spanish"        => SpanishAnalyzer()
     case "folding"        => AsciiFoldingAnalyzer()
     case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
       ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)
@@ -346,6 +365,127 @@ final case class GermanAnalyzer(stopWords: Set[String] = Analyzers.GermanStopWor
       // stop check on the SURFACE form, like the reference (stem after stop)
       if (!stopWords.contains(t.term)) {
         val stemmed = GermanLightStem.stem(t.term)
+        sink.accept(stemmed, 0, stemmed.length, t.position)
+      }
+    }
+}
+
+/** French light stemmer — the shape of the reference's `FrenchLightStemmer`
+  * (Savoy's UniNE light stemmer;
+  * `lucene/analysis/common/src/java/org/apache/lucene/analysis/fr/FrenchLightStemmer.java`):
+  * diacritic folding then plural/gender/verb suffix removal. Like
+  * [[GermanLightStem]], deliberately reduced to ONE suffix pass with fixed
+  * length guards so the exact transform is ANSI-SQL-expressible; the
+  * reference additionally normalizes double consonants and iterates — the
+  * divergence is quantified in RomanceSpec. */
+object FrenchLightStem extends Serializable {
+  def fold(s: String): String = {
+    val b = new StringBuilder(s.length)
+    s.foreach {
+      case 'à' | 'â' | 'ä' => b.append('a')
+      case 'é' | 'è' | 'ê' | 'ë' => b.append('e')
+      case 'î' | 'ï' => b.append('i')
+      case 'ô' | 'ö' => b.append('o')
+      case 'ù' | 'û' | 'ü' => b.append('u')
+      case 'ç' => b.append('c')
+      case 'œ' => b.append("oe")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  def stem(term: String): String = {
+    val f = fold(term)
+    val n = f.length
+    if (n >= 6 && f.endsWith("aux")) f.substring(0, n - 3) + "al" // chevaux→cheval
+    else if (n >= 5 && f.endsWith("x")) f.substring(0, n - 1)
+    else if (n >= 6 && f.endsWith("ent")) f.substring(0, n - 3) // 3pl verbs
+    else if (n >= 5 && f.endsWith("es")) f.substring(0, n - 2)
+    else if (n >= 4 && f.endsWith("s")) f.substring(0, n - 1)
+    else if (n >= 4 && f.endsWith("e")) f.substring(0, n - 1)
+    else f
+  }
+}
+
+/** Spanish light stemmer — the shape of the reference's
+  * `SpanishLightStemmer` (Savoy's UniNE;
+  * `lucene/analysis/common/src/java/org/apache/lucene/analysis/es/SpanishLightStemmer.java`):
+  * accent folding then plural/gender vowel suffix removal, one
+  * length-guarded pass (SQL-expressible; divergence from the reference's
+  * switch cascade quantified in RomanceSpec). */
+object SpanishLightStem extends Serializable {
+  def fold(s: String): String = {
+    val b = new StringBuilder(s.length)
+    s.foreach {
+      case 'á' => b.append('a')
+      case 'é' => b.append('e')
+      case 'í' => b.append('i')
+      case 'ó' => b.append('o')
+      case 'ú' | 'ü' => b.append('u')
+      case 'ñ' => b.append('n')
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  def stem(term: String): String = {
+    val f = fold(term)
+    val n = f.length
+    if (n >= 5 && (f.endsWith("os") || f.endsWith("as") || f.endsWith("es")))
+      f.substring(0, n - 2)
+    else if (n >= 4 && (f.endsWith("o") || f.endsWith("a") || f.endsWith("e")))
+      f.substring(0, n - 1)
+    else if (n >= 4 && f.endsWith("s")) f.substring(0, n - 1)
+    else f
+  }
+}
+
+/** French analysis chain (reference `FrenchAnalyzer.java` shape):
+  * tokenize → lowercase → elision strip (l'art → art,
+  * `ElisionFilter.java` with the French article set) → stop(FR, increments
+  * kept) → light stem. Stop set is a high-frequency subset of the snowball
+  * `french_stop.txt`, like the German chain. */
+final case class FrenchAnalyzer(stopWords: Set[String] = Analyzers.FrenchStopWords)
+    extends Analyzer {
+  override val name = "french"
+  private val elisions = Set("l", "m", "t", "qu", "n", "s", "j", "d", "c",
+    "jusqu", "quoiqu", "lorsqu", "puisqu") // reference DEFAULT_ARTICLES
+
+  override def tokenize(text: String): IndexedSeq[Token] = {
+    val out = Vector.newBuilder[Token]
+    tokenizeRaw(text, (src, s, e, pos) => out += Token(src.substring(s, e), pos))
+    out.result()
+  }
+  override def tokenizeRaw(text: String, sink: TokenSink): Unit = {
+    // the unicode tokenizer splits on the apostrophe, so elision articles
+    // arrive as standalone tokens: drop them WITHOUT consuming a position
+    // (the reference's ElisionFilter rewrites l'art to ONE token "art");
+    // stop words, by contrast, keep their increment
+    var elided = 0
+    SimpleUnicodeAnalyzer.tokenize(text).foreach { t =>
+      if (elisions.contains(t.term)) elided += 1
+      else if (!stopWords.contains(t.term)) {
+        val stemmed = FrenchLightStem.stem(t.term)
+        sink.accept(stemmed, 0, stemmed.length, t.position - elided)
+      }
+    }
+  }
+}
+
+/** Spanish analysis chain (reference `SpanishAnalyzer.java` shape):
+  * tokenize → lowercase → stop(ES, increments kept) → light stem. */
+final case class SpanishAnalyzer(stopWords: Set[String] = Analyzers.SpanishStopWords)
+    extends Analyzer {
+  override val name = "spanish"
+  override def tokenize(text: String): IndexedSeq[Token] = {
+    val out = Vector.newBuilder[Token]
+    tokenizeRaw(text, (src, s, e, pos) => out += Token(src.substring(s, e), pos))
+    out.result()
+  }
+  override def tokenizeRaw(text: String, sink: TokenSink): Unit =
+    SimpleUnicodeAnalyzer.tokenize(text).foreach { t =>
+      if (!stopWords.contains(t.term)) {
+        val stemmed = SpanishLightStem.stem(t.term)
         sink.accept(stemmed, 0, stemmed.length, t.position)
       }
     }
