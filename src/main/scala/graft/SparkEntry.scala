@@ -543,6 +543,26 @@ object SparkEntry {
       // rule n/a, bare s-rule) and 'stream' fixed point
       topk(new Searcher(Indexes.spanishIndex(s, dir), ScoringMode.PreciseBM25())
         .scored(TermQuery("stream")), 10)
+    }),
+    "q77_graph_synonym" -> ((s, dir) => {
+      // SynonymGraphFilter/QueryBuilder analog: MULTI-WORD synonym expansion
+      // at query time — 'stream' ≡ the phrase "spark batch"; the matched span
+      // compiles to (term OR exact-phrase) with matching alternatives' scores
+      // summed, conjoined with the rest of the query (q15 stays the flat
+      // single-token SynonymQuery)
+      val q = SynonymGraph.expand(Seq("fast", "stream"),
+        Seq(SynonymRule(Seq("stream"), Seq(Seq("spark", "batch")))))
+      topk(Indexes.searcher(s, dir).scored(q), 10)
+    }),
+    "q78_passage" -> ((s, dir) => {
+      // UnifiedHighlighter PassageScorer analog: each doc's best-scoring
+      // 16-token passage under norm(start) × Σ tf×weight with doc-local
+      // stats (q61 stays the best-window term highlighter)
+      Highlighter.passages(docsTable(s, dir).filter(col("doc_id") < 200),
+          "doc_id", "text", Set("spark", "stream"), window = 16)
+        .select(col("doc_id"), col("passage"),
+          round(col("score"), 6).as("score"), col("snippet"))
+        .orderBy("doc_id")
     })
   ) ++ graft.pipeline.PipelineQueries.queries
 
@@ -648,6 +668,21 @@ object SparkEntry {
        |  * ${tfNormSql("tf.freq", "dl.dlq")} AS score
        |FROM (SELECT doc_id, count(*) AS freq FROM toks WHERE term = '$term' GROUP BY doc_id) tf
        |JOIN dl ON tf.doc_id = dl.doc_id""".stripMargin
+
+  /** Exact-bigram phrase scored subquery — the engine's phrase scorer: summed
+    * per-term idfs × tf-normalization of the PHRASE occurrence count. */
+  private def phraseScoreSql(t1: String, t2: String): String =
+    s"""SELECT pf.doc_id AS doc_id,
+       |  (${idfSql(s"(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = '$t1'))")}
+       |   + ${idfSql(s"(SELECT count(*) FROM (SELECT DISTINCT doc_id FROM toks WHERE term = '$t2'))")})
+       |  * ${tfNormSql("pf.freq", "dl.dlq")} AS score
+       |FROM (
+       |  SELECT a.doc_id, count(*) AS freq
+       |  FROM (SELECT doc_id, pos FROM toks WHERE term = '$t1') a
+       |  JOIN (SELECT doc_id, pos FROM toks WHERE term = '$t2') b
+       |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY a.doc_id
+       |) pf JOIN dl ON pf.doc_id = dl.doc_id""".stripMargin
 
   private def topkSql(scoredSql: String, k: Int): String =
     s"""$CTE
@@ -1351,6 +1386,54 @@ object SparkEntry {
          |           / (SELECT count(*) FROM documents WHERE lang = 'es') AS avgdl
          |)
          |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("stream")}) scored
-         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // graph synonym: the 'stream' span expands to (term 'stream' OR phrase
+    // "spark batch") — matching alternatives' scores SUM (a SHOULD boolean,
+    // QueryBuilder.analyzeGraphBoolean), conjoined with the required 'fast'
+    "q77_graph_synonym" -> topkSql(
+      s"""SELECT alt.doc_id, alt.score + f.score AS score FROM (
+         |  SELECT doc_id, sum(score) AS score FROM (
+         |    ${termScoreSql("stream")} UNION ALL ${phraseScoreSql("spark", "batch")}
+         |  ) u GROUP BY doc_id
+         |) alt JOIN (${termScoreSql("fast")}) f ON alt.doc_id = f.doc_id""".stripMargin, 10),
+
+    // passage scoring (UnifiedHighlighter PassageScorer, token-based): best
+    // 16-token slab per doc, score = (1 + 1/ln(pivot+start)) × Σ_t
+    // tf(fp,plen)·weight(dl,fd); pivot=16 tokens, k1=1.2, b=0.75; stats are
+    // all doc-local so no corpus CTE stats are referenced
+    "q78_passage" ->
+      s"""$CTE, pt AS (
+         |  SELECT doc_id, pos, term, pos // 16 AS pid FROM toks WHERE doc_id < 200
+         |), plen AS (
+         |  SELECT doc_id, pid, count(*) AS plen FROM pt GROUP BY doc_id, pid
+         |), fd AS (
+         |  SELECT doc_id, term, count(*) AS fd FROM pt
+         |  WHERE term IN ('spark', 'stream') GROUP BY doc_id, term
+         |), fp AS (
+         |  SELECT doc_id, pid, term, count(*) AS fp FROM pt
+         |  WHERE term IN ('spark', 'stream') GROUP BY doc_id, pid, term
+         |), ps AS (
+         |  SELECT fp.doc_id, fp.pid,
+         |    (1 + 1 / ln(16.0 + fp.pid * 16)) * sum(
+         |      (fp.fp / (fp.fp + 1.2 * (0.25 + 0.75 * plen.plen / 16.0)))
+         |      * (2.2 * ln(1 + (1 + dl.dl / 16.0 + 0.5) / (fd.fd + 0.5)))
+         |    ) AS score
+         |  FROM fp
+         |  JOIN plen ON fp.doc_id = plen.doc_id AND fp.pid = plen.pid
+         |  JOIN fd ON fd.doc_id = fp.doc_id AND fd.term = fp.term
+         |  JOIN dl ON dl.doc_id = fp.doc_id
+         |  GROUP BY fp.doc_id, fp.pid
+         |), best AS (
+         |  SELECT doc_id, pid, score,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pid) AS rn
+         |  FROM ps
+         |)
+         |SELECT b.doc_id, b.pid AS passage, round(b.score, 6) AS score,
+         |  (SELECT string_agg(
+         |     CASE WHEN p2.term IN ('spark', 'stream') THEN '<b>' || p2.term || '</b>'
+         |          ELSE p2.term END, ' ' ORDER BY p2.pos)
+         |   FROM pt p2 WHERE p2.doc_id = b.doc_id AND p2.pid = b.pid) AS snippet
+         |FROM best b WHERE rn = 1 ORDER BY doc_id""".stripMargin
   ) ++ graft.pipeline.PipelineQueries.oracleSql
 }
