@@ -563,6 +563,14 @@ object SparkEntry {
         .select(col("doc_id"), col("passage"),
           round(col("score"), 6).as("score"), col("snippet"))
         .orderBy("doc_id")
+    }),
+    "q79_index_or_dv" -> ((s, dir) => {
+      // IndexOrDocValuesQuery analog: scored 'spark' with a prefix FILTER
+      // whose evaluation plan (full expansion scan vs candidate-driven
+      // block-skipped verify) is chosen by dictionary cost estimates — both
+      // plans produce identical rows, so one oracle gates whichever fires
+      topk(Indexes.searcher(s, dir).scored(
+        IndexOrDocValuesQuery(TermQuery("spark"), PrefixQuery("st"))), 10)
     })
   ) ++ graft.pipeline.PipelineQueries.queries
 
@@ -1434,6 +1442,12 @@ object SparkEntry {
          |     CASE WHEN p2.term IN ('spark', 'stream') THEN '<b>' || p2.term || '</b>'
          |          ELSE p2.term END, ' ' ORDER BY p2.pos)
          |   FROM pt p2 WHERE p2.doc_id = b.doc_id AND p2.pid = b.pid) AS snippet
-         |FROM best b WHERE rn = 1 ORDER BY doc_id""".stripMargin
+         |FROM best b WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // IndexOrDocValues: scored term semi-joined by the prefix filter's doc
+    // set — plan choice is an engine-side optimization, results identical
+    "q79_index_or_dv" -> topkSql(
+      s"""SELECT a.doc_id, a.score FROM (${termScoreSql("spark")}) a
+         |WHERE a.doc_id IN (SELECT doc_id FROM toks WHERE term LIKE 'st%')""".stripMargin, 10)
   ) ++ graft.pipeline.PipelineQueries.oracleSql
 }

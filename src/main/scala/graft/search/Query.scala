@@ -104,6 +104,22 @@ final case class IntervalQuery(source: IntervalsSource) extends Query
   * `lucene/core/src/java/org/apache/lucene/search/IndexSortSortedNumericDocValuesRangeQuery.java:69`. */
 final case class DocIdRangeQuery(inner: Query, lo: Long, hi: Long) extends Query
 
+/** Cost-based two-plan filtered query — the reference's
+  * `IndexOrDocValuesQuery`
+  * (`lucene/core/src/java/org/apache/lucene/search/IndexOrDocValuesQuery.java:56`:
+  * "wraps two queries that match the same documents" and picks per-segment
+  * whichever is cheaper given the lead's cost). `scoring` is required and
+  * scored; `filter` (an expansion query — prefix/range/set/fuzzy/regexp) is a
+  * non-scoring FILTER evaluated by whichever plan the compile-time cost
+  * estimate says is cheaper:
+  *  - "index" plan: full expansion scan of the filter's postings, then
+  *    semi-join — right when the filter is narrow;
+  *  - "doc-values" plan: the scoring lead's doc set drives — the filter's
+  *    posting blocks are skipped on [firstDoc,lastDoc] overlap with the lead
+  *    and rows verified against it, the random-access-verify analog — right
+  *    when the lead is rare and the filter wide. */
+final case class IndexOrDocValuesQuery(scoring: Query, filter: Query) extends Query
+
 /** All docs, score 1. Reference: `search/MatchAllDocsQuery.java:23`. */
 case object MatchAllDocsQuery extends Query
 
@@ -134,6 +150,11 @@ object QueryRewriter {
       })
     case PhraseQuery(Seq(t), _) => TermQuery(t)
     case SynonymQuery(Seq(t)) => TermQuery(t)
+    case IndexOrDocValuesQuery(s0, f0) =>
+      (rewriteOnce(s0), rewriteOnce(f0)) match {
+        case (MatchNoDocsQuery, _) | (_, MatchNoDocsQuery) => MatchNoDocsQuery
+        case (s1, f1) => IndexOrDocValuesQuery(s1, f1)
+      }
     case BoostQuery(inner, b) if b == 1f => rewriteOnce(inner)
     case BoostQuery(inner, b) => BoostQuery(rewriteOnce(inner), b)
     case ConstantScoreQuery(inner) => ConstantScoreQuery(rewriteOnce(inner))

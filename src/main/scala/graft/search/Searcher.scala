@@ -287,6 +287,7 @@ final class Searcher(
     case SpanNearQuery(ts, _, _) => ts.toSet
     case IntervalQuery(src) => src.terms
     case DocIdRangeQuery(inner, _, _) => exactTerms(inner)
+    case IndexOrDocValuesQuery(scoring, _) => exactTerms(scoring)
     case BooleanQuery(cs, _) => cs.flatMap(c => exactTerms(c._2)).toSet
     case BoostQuery(inner, _) => exactTerms(inner)
     case ConstantScoreQuery(inner) => exactTerms(inner)
@@ -1175,6 +1176,70 @@ final class Searcher(
         .agg((max(col("score")) + lit(tie.toDouble) * (sum(col("score")) - max(col("score")))).as("score"))
         .select("docId", "score")
     case BooleanQuery(clauses, msm) => compileBoolean(clauses, msm, stats, boost)
+    case IndexOrDocValuesQuery(scoring, filterQ) =>
+      indexOrDocValuesFrame(scoring, filterQ, stats, boost)
+  }
+
+  // --------------------------------------- cost-based scorer choice (IODV)
+
+  /** Summed df over the dictionary terms the filter predicate matches — the
+    * filter's "index plan" cost, one action over the (small) term dictionary
+    * like every other dictionary-first estimate. */
+  private def filterScanCost(pred: org.apache.spark.sql.Column): Long =
+    index.termStats.filter(pred)
+      .agg(coalesce(sum(col("df")), lit(0L)))
+      .as[Long].head()
+
+  /** The scoring side's lead cost: its rarest exact term's df (the
+    * reference's `ScorerSupplier.cost()` of the lead,
+    * `IndexOrDocValuesQuery.java:139-151`). No exact terms ⇒ unbounded. */
+  private def leadCost(scoring: Query, stats: Map[String, TermStats]): Long = {
+    val dfs = exactTerms(scoring).toSeq.collect {
+      case t if stats.contains(t) => stats(t).docFreq
+    }
+    if (dfs.isEmpty) Long.MaxValue else dfs.min
+  }
+
+  /** Which plan [[IndexOrDocValuesQuery]] takes — `"index"` or
+    * `"docvalues"` — exposed so plans are assertable (the compile path
+    * makes the same decision from the same estimates). */
+  def iodvPlan(scoring: Query, filterQ: Query): String = {
+    val stats = lookupStats(exactTerms(scoring))
+    if (leadCost(scoring, stats) < filterScanCost(expansionPred(filterQ))) "docvalues"
+    else "index"
+  }
+
+  /** `scoring` required and scored, `filterQ` a non-scoring FILTER evaluated
+    * by the cheaper of two plans ([[IndexOrDocValuesQuery]] scaladoc). The
+    * semi-join at the end enforces correctness in BOTH plans — the lead
+    * filter only prunes, so a coarse-tier (bucketed) lead never changes
+    * results, it just verifies more rows. */
+  private def indexOrDocValuesFrame(scoring: Query, filterQ: Query,
+      stats: Map[String, TermStats], boost: Double): DataFrame = {
+    val pred = expansionPred(filterQ)
+    val scoredLead = compile(scoring, stats, boost)
+    val lc = leadCost(scoring, stats)
+    val filterDocs: DataFrame =
+      if (lc < filterScanCost(pred)) {
+        // "doc-values" plan: candidates verify — the rarest scoring term's
+        // doc set (exact or coarse tier, cliff-free) block-skips and
+        // row-filters the filter's expansion scan before any decode
+        val lt = exactTerms(scoring).filter(stats.contains).minBy(t => stats(t).docFreq)
+        val lf = buildLeadFilter(Seq(lt), stats(lt).docFreq)
+        val overlaps = udf((first: Long, last: Long) => lf.blockOverlaps(first, last))
+        expansionBlocks(pred, dictFirst = true) match {
+          case None => return emptyFrame
+          case Some(blocks) =>
+            blocks.filter(overlaps(col("firstDoc"), col("lastDoc")))
+              .mapPartitions(it => it.flatMap(b =>
+                PostingsCodec.decodeDocIds(b).iterator.filter(lf.contains)))
+              .toDF("docId").distinct()
+        }
+      } else {
+        // "index" plan: the narrow filter is scanned wholesale
+        expansionFrame(pred, 1.0).select("docId")
+      }
+    scoredLead.join(filterDocs, Seq("docId"), "left_semi")
   }
 
   private def compileBoolean(
