@@ -472,8 +472,17 @@ final class Searcher(
           .as[(Long, String, Double, PostingBlock)]
         segRows.groupByKey(_._1)
           .flatMapGroups { (_, it) =>
-            Wand.segmentTopK(it.map(r => (r._2, r._3, r._4)), scorers, nTerms,
-              requireAll, threshold, k)
+            // conjunctions take the WAND loop (all terms required ⇒ DAAT
+            // frontier); disjunctions take the MAXSCORE bulk scorer, whose
+            // essential/non-essential split is the better fit when term max
+            // scores are skewed (the reference routes top-k SHOULD queries
+            // through MaxScoreBulkScorer the same way)
+            if (requireAll)
+              Wand.segmentTopK(it.map(r => (r._2, r._3, r._4)), scorers, nTerms,
+                requireAll, threshold, k)
+            else
+              Wand.segmentTopKMaxScore(it.map(r => (r._2, r._3, r._4)), scorers,
+                threshold, k)
           }.toDF("docId", "score")
       } else {
         val agg = decodeSum(kept)

@@ -141,4 +141,123 @@ object Wand {
     while (i >= 0) { val e = heap.poll(); out(i) = (e._2, e._1); i -= 1 }
     out.iterator
   }
+
+  /** MAXSCORE bulk-scorer variant for DISJUNCTIVE top-k — the reference's
+    * essential/non-essential term partitioning
+    * (`lucene/core/src/java/org/apache/lucene/search/MaxScoreBulkScorer.java:26`:
+    * terms sorted by max score; the largest prefix whose summed max scores
+    * stay under the collector threshold is "non-essential" and never
+    * *generates* candidates, only *verifies* them), re-expressed over one
+    * segment's posting blocks in two passes:
+    *
+    *  1. essential terms' surviving blocks are decoded and accumulate the
+    *     candidate set (a doc matched ONLY by non-essential terms has true
+    *     score ≤ Σ non-essential maxUb < threshold — correctly never
+    *     materialized, the core MAXSCORE saving);
+    *  2. non-essential terms are applied in DESCENDING maxUb order: before
+    *     each, candidates that cannot reach the threshold even with every
+    *     remaining term's maxUb are dropped, and a term's block is decoded
+    *     ONLY if a still-viable candidate falls inside [firstDoc, lastDoc]
+    *     (the per-candidate advance() of the reference, block-granular).
+    *
+    * Emits exact scores ≥ `threshold`; the caller merges segment top-ks under
+    * the same static threshold, so like [[segmentTopK]] this only removes
+    * decode work, never changes results. `onDecode` is a test hook counting
+    * physical block decodes. */
+  def segmentTopKMaxScore(
+      rows: Iterator[(String, Double, PostingBlock)],
+      scorers: Map[String, (Int, Int) => Double],
+      threshold: Double,
+      k: Int,
+      onDecode: () => Unit = () => ()): Iterator[(Long, Double)] = {
+
+    val byTerm = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[(Double, PostingBlock)]]
+    rows.foreach { case (t, ub, b) =>
+      byTerm.getOrElseUpdate(t, scala.collection.mutable.ArrayBuffer.empty) += ((ub, b))
+    }
+    if (byTerm.isEmpty) return Iterator.empty
+    // ascending segment-level max upper bound; the non-essential prefix is
+    // the largest one whose ubs sum strictly below the threshold
+    val terms = byTerm.keys.toArray.map(t => (t, byTerm(t).iterator.map(_._1).max))
+      .sortBy { case (t, ub) => (ub, t) }
+    var cut = 0
+    var acc0 = 0.0
+    while (cut < terms.length && acc0 + terms(cut)._2 < threshold) {
+      acc0 += terms(cut)._2; cut += 1
+    }
+    val nonEssential = terms.take(cut) // ascending ub
+    val essential = terms.drop(cut)
+    val sumAllUb = terms.iterator.map(_._2).sum
+
+    // ---- pass 1: essential terms generate candidates
+    val cand = new java.util.TreeMap[java.lang.Long, Acc]()
+    essential.foreach { case (t, _) =>
+      val f = scorers(t)
+      val othersBound = sumAllUb - byTerm(t).iterator.map(_._1).max
+      byTerm(t).foreach { case (ub, b) =>
+        if (ub + othersBound >= threshold) { // segment-tight static skip
+          onDecode()
+          val d = PostingsCodec.decodeBlock(b)
+          var j = 0
+          while (j < d.docs.length) {
+            val a = cand.get(d.docs(j))
+            val s = f(d.freqs(j), d.doclens(j))
+            if (a == null) cand.put(d.docs(j), new Acc(s, 1))
+            else { a.sum += s; a.cnt += 1 }
+            j += 1
+          }
+        }
+      }
+    }
+    if (cand.isEmpty) return Iterator.empty
+
+    // ---- pass 2: non-essential terms verify, best-first
+    var remaining = acc0 // Σ maxUb of the not-yet-applied non-essential terms
+    nonEssential.reverseIterator.foreach { case (t, ub) =>
+      // drop candidates that cannot reach the threshold with all remaining help
+      val it = cand.entrySet().iterator()
+      while (it.hasNext) {
+        if (it.next().getValue.sum + remaining < threshold) it.remove()
+      }
+      if (!cand.isEmpty) {
+        val f = scorers(t)
+        byTerm(t).foreach { case (_, b) =>
+          // decode only blocks that contain a still-viable candidate
+          if (!cand.subMap(b.firstDoc, true, b.lastDoc, true).isEmpty) {
+            onDecode()
+            val d = PostingsCodec.decodeBlock(b)
+            var j = 0
+            while (j < d.docs.length) {
+              val a = cand.get(d.docs(j))
+              if (a != null) { a.sum += f(d.freqs(j), d.doclens(j)); a.cnt += 1 }
+              j += 1
+            }
+          }
+        }
+      }
+      remaining -= ub
+    }
+
+    // ---- final top-k heap (same order contract as segmentTopK)
+    val heap = new java.util.PriorityQueue[(Double, Long)](k, (a: (Double, Long), b: (Double, Long)) =>
+      if (a._1 != b._1) java.lang.Double.compare(a._1, b._1) else java.lang.Long.compare(b._2, a._2))
+    val it = cand.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val s = e.getValue.sum
+      if (s >= threshold) {
+        if (heap.size < k) heap.add((s, e.getKey))
+        else {
+          val worst = heap.peek()
+          if (s > worst._1 || (s == worst._1 && e.getKey < worst._2)) {
+            heap.poll(); heap.add((s, e.getKey))
+          }
+        }
+      }
+    }
+    val out = new Array[(Long, Double)](heap.size)
+    var i = out.length - 1
+    while (i >= 0) { val e = heap.poll(); out(i) = (e._2, e._1); i -= 1 }
+    out.iterator
+  }
 }
