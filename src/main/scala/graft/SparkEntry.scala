@@ -159,6 +159,53 @@ object Indexes {
       IndexBuilder.build(docs, dir, IndexConfig(SpanishAnalyzer(), withPositions = true))
     })
 
+  /** The `doc_id % 5 = 2` shard indexed through the Italian chain
+    * ([[graft.core.ItalianAnalyzer]]: tokenize → elision → lowercase →
+    * stop(IT) → light stem). The fixture corpus has no `it` slice, so a
+    * deterministic shard stands in; the stemmer itself is pinned to the
+    * reference's shipped itlight.txt vocabulary by ItalianPortugueseSpec. */
+  def italianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#it", {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-it-").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 5 === 2)
+        .select(col("doc_id").as("docId"), col("text"))
+        .as[InputDoc]
+      IndexBuilder.build(docs, dir, IndexConfig(ItalianAnalyzer(), withPositions = true))
+    })
+
+  /** The `doc_id % 5 = 4` shard through the Portuguese chain
+    * ([[graft.core.PortugueseAnalyzer]]: tokenize → lowercase → stop(PT) →
+    * light stem), pinned to ptlight.txt like [[italianIndex]]. */
+  def portugueseIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#pt", {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-pt-").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 5 === 4)
+        .select(col("doc_id").as("docId"), col("text"))
+        .as[InputDoc]
+      IndexBuilder.build(docs, dir, IndexConfig(PortugueseAnalyzer(), withPositions = true))
+    })
+
+  /** The `lang='zh'` corpus slice indexed through the CJK chain
+    * ([[graft.core.CjkAnalyzer]]: tokenize → width fold → lowercase → CJK
+    * bigrams → stop, reference `CJKAnalyzer` composition). The synthetic zh
+    * slice is ASCII text, so at index time the chain degenerates to
+    * word+stop (the DuckDB oracle replays exactly that); the bigram/width
+    * machinery itself is pinned by CjkSpec's reference test vectors. */
+  def cjkIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#zh", {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-zh-").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("lang") === "zh")
+        .select(col("doc_id").as("docId"), col("text"))
+        .as[InputDoc]
+      IndexBuilder.build(docs, dir, IndexConfig(CjkAnalyzer(), withPositions = true))
+    })
+
   /** Documents index built in TWO snapshot commits: v1 = the even doc ids
     * (base build), v2 = the odd half appended as a micro-batch. Opening
     * `asOf = Some(1)` time-travels to the pre-append state; the latest view
@@ -564,6 +611,51 @@ object SparkEntry {
           round(col("score"), 6).as("score"), col("snippet"))
         .orderBy("doc_id")
     }),
+    "q81_italian_stem" -> ((s, dir) => {
+      // Italian chain on a deterministic shard. No fixture-vocabulary word is
+      // ≥ 6 chars AND vowel-final, so the UniNE stemmer is the identity on
+      // this corpus (its rules are pinned to the reference's itlight.txt by
+      // ItalianPortugueseSpec); the gate exercises the full chain — elision +
+      // stop(IT, 'a' dropped with increments kept) + stem — with shard-local
+      // statistics like q74-q76
+      topk(new Searcher(Indexes.italianIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("column")), 10)
+    }),
+    "q82_portuguese_stem" -> ((s, dir) => {
+      // Portuguese chain on a deterministic shard: 'merge' → 'merg' (final
+      // vowel drop), 'table' → 'tabl', 'value' → 'valu'
+      topk(new Searcher(Indexes.portugueseIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("merg")), 10)
+    }),
+    "q84_function_score" -> ((s, dir) => {
+      // expressions/FunctionScoreQuery analog: BM25 for 'spark' reweighted by
+      // a length prior, formula compiled by Catalyst from a SQL string (the
+      // Expression.compile analog) with `_score` bound to the query score
+      topk(FunctionScore.functionScore(
+          Indexes.searcher(s, dir).scored(TermQuery("spark")),
+          docsTable(s, dir).select(col("doc_id"), col("n_chars")), "doc_id",
+          "_score * ln(1.0 + n_chars / 100.0)")
+        .select(col("docId"), col("score")), 10)
+    }),
+    "q83_diversified" -> ((s, dir) => {
+      // DiversifiedTopDocsCollector analog: top-10 for 'spark' with at most
+      // 2 hits per `source` — the per-key cap is a map-side-combinable
+      // bounded-heap aggregation, then one TakeOrdered
+      Diversify.diversifiedTopK(
+          Indexes.searcher(s, dir).scored(TermQuery("spark")),
+          docsTable(s, dir), "doc_id", "source", maxPerKey = 2, k = 10)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"),
+          col("source"))
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+    "q80_cjk_bigram" -> ((s, dir) => {
+      // CJK chain on the lang='zh' slice (reference CJKAnalyzer: width fold →
+      // bigram CJK runs → stop). On this ASCII slice the chain reduces to
+      // word+stop — the oracle replays that; bigram semantics are pinned by
+      // CjkSpec against the reference's own test vectors
+      topk(new Searcher(Indexes.cjkIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("spark")), 10)
+    }),
     "q79_index_or_dv" -> ((s, dir) => {
       // IndexOrDocValuesQuery analog: scored 'spark' with a prefix FILTER
       // whose evaluation plan (full expansion scan vs candidate-driven
@@ -602,6 +694,23 @@ object SparkEntry {
   private val SpanishStopList: String =
     Analyzers.SpanishStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
 
+  /** SQL literal list of the CJK stop set (q80's CJK-chain index). */
+  private val CjkStopList: String =
+    Analyzers.CjkStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+
+  /** SQL literal lists for the Italian chain (q81): stop set + elision
+    * articles (reference `ItalianAnalyzer.DEFAULT_ARTICLES`). */
+  private val ItalianStopList: String =
+    Analyzers.ItalianStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val ItalianElisionList: String =
+    Seq("c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell",
+      "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s", "v",
+      "d").sorted.map(w => s"'$w'").mkString(", ")
+
+  /** SQL literal list of the Portuguese stop set (q82). */
+  private val PortugueseStopList: String =
+    Analyzers.PortugueseStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+
   /** [[graft.core.FrenchLightStem]] as SQL (ASCII corpus: fold = identity). */
   private def frenchStemSql(t: String): String =
     s"""CASE
@@ -634,6 +743,60 @@ object SparkEntry {
        |  WHEN length($t) >= 4 AND ($t LIKE '%e' OR $t LIKE '%n' OR $t LIKE '%s')
        |    THEN substr($t, 1, length($t) - 1)
        |  ELSE $t END""".stripMargin
+
+  /** [[graft.core.ItalianLightStem]] as SQL (ASCII corpus: the accent fold
+    * is the identity): two-char vowel-pair suffixes first, then a bare final
+    * vowel, both only at length ≥ 6 — the reference's exact rule order. */
+  private def italianStemSql(t: String): String =
+    s"""CASE
+       |  WHEN length($t) < 6 THEN $t
+       |  WHEN $t LIKE '%ie' OR $t LIKE '%he' OR $t LIKE '%hi' OR $t LIKE '%ii'
+       |       OR $t LIKE '%ia' OR $t LIKE '%io' THEN substr($t, 1, length($t) - 2)
+       |  WHEN $t LIKE '%e' OR $t LIKE '%i' OR $t LIKE '%a' OR $t LIKE '%o'
+       |    THEN substr($t, 1, length($t) - 1)
+       |  ELSE $t END""".stripMargin
+
+  /** [[graft.core.PortugueseLightStem]].removeSuffix as SQL, ASCII input
+    * branches (the `ões/ães/óis/éis` rules can't fire on this corpus); the
+    * `< 4` arm is stem()'s overall short-word passthrough. */
+  private def ptSuffixSql(t: String): String =
+    s"""CASE
+       |  WHEN length($t) < 4 THEN $t
+       |  WHEN length($t) > 4 AND ($t LIKE '%res' OR $t LIKE '%ses' OR $t LIKE '%les' OR $t LIKE '%zes')
+       |    THEN substr($t, 1, length($t) - 2)
+       |  WHEN length($t) > 3 AND $t LIKE '%ns' THEN substr($t, 1, length($t) - 2) || 'm'
+       |  WHEN length($t) > 4 AND $t LIKE '%eis' THEN substr($t, 1, length($t) - 3) || 'el'
+       |  WHEN length($t) > 4 AND $t LIKE '%ais' THEN substr($t, 1, length($t) - 3) || 'al'
+       |  WHEN length($t) > 4 AND $t LIKE '%is' THEN substr($t, 1, length($t) - 1) || 'l'
+       |  WHEN length($t) > 6 AND $t LIKE '%mente' THEN substr($t, 1, length($t) - 5)
+       |  WHEN length($t) > 3 AND $t LIKE '%s' THEN substr($t, 1, length($t) - 1)
+       |  ELSE $t END""".stripMargin
+
+  /** [[graft.core.PortugueseLightStem]].normFeminine as SQL (ASCII input;
+    * the `ona`/`esa` arms emit `ã`/`ê`, folded by [[ptFinalSql]]). */
+  private def ptFeminineSql(orig: String, t: String): String =
+    s"""CASE WHEN length($orig) >= 4 AND length($t) > 3 AND $t LIKE '%a' THEN
+       |  CASE
+       |    WHEN length($t) > 7 AND ($t LIKE '%inha' OR $t LIKE '%iaca' OR $t LIKE '%eira')
+       |      THEN substr($t, 1, length($t) - 1) || 'o'
+       |    WHEN length($t) > 6 AND ($t LIKE '%osa' OR $t LIKE '%ica' OR $t LIKE '%ida'
+       |         OR $t LIKE '%ada' OR $t LIKE '%iva' OR $t LIKE '%ama')
+       |      THEN substr($t, 1, length($t) - 1) || 'o'
+       |    WHEN length($t) > 6 AND $t LIKE '%ona' THEN substr($t, 1, length($t) - 3) || 'ão'
+       |    WHEN length($t) > 6 AND $t LIKE '%ora' THEN substr($t, 1, length($t) - 1)
+       |    WHEN length($t) > 6 AND $t LIKE '%esa' THEN substr($t, 1, length($t) - 3) || 'ês'
+       |    WHEN length($t) > 6 AND $t LIKE '%na' THEN substr($t, 1, length($t) - 1) || 'o'
+       |    ELSE $t END
+       |ELSE $t END""".stripMargin
+
+  /** Portuguese final-vowel drop + accent fold (the fold only matters for
+    * the `ã`/`ê` the feminine rules introduce on this ASCII corpus). */
+  private def ptFinalSql(orig: String, t: String): String =
+    s"""replace(replace(
+       |  CASE WHEN length($orig) < 4 THEN $orig
+       |       WHEN length($t) > 4 AND ($t LIKE '%e' OR $t LIKE '%a' OR $t LIKE '%o')
+       |         THEN substr($t, 1, length($t) - 1)
+       |       ELSE $t END, 'ã', 'a'), 'ê', 'e')""".stripMargin
 
   /** Shared CTE prefix: tokenize `documents` exactly like [[SimpleAnalyzer]]
     * (lowercase, maximal `[a-z0-9]+` runs, 0-based positions over kept
@@ -1395,6 +1558,117 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("stream")}) scored
          |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // CJK chain on the lang='zh' slice: the ASCII synthetic slice has no CJK
+    // runs, so the chain reduces to tokenize → stop(CJK list, increments
+    // kept); bigram/width-fold behavior is spec-pinned (CjkSpec), statistics
+    // slice-local like q74
+    "q80_cjk_bigram" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+         |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+         |  FROM documents WHERE lang = 'zh'
+         |), toks0 AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+         |  FROM raw WHERE term <> ''
+         |), toks AS (
+         |  SELECT doc_id, term, pos FROM toks0 WHERE term NOT IN ($CjkStopList)
+         |), quant(q) AS (
+         |  SELECT * FROM (VALUES $QuantValues)
+         |), dl0 AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), dl AS (
+         |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM documents WHERE lang = 'zh') AS n,
+         |         (SELECT sum(dl) FROM dl0)::DOUBLE
+         |           / (SELECT count(*) FROM documents WHERE lang = 'zh') AS avgdl
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("spark")}) scored
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Italian chain on the doc_id % 5 = 2 shard: tokenize → elision (no
+    // position consumed) → stop(IT) → light stem (exact UniNE rules);
+    // statistics shard-local
+    "q81_italian_stem" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+         |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+         |  FROM documents WHERE doc_id % 5 = 2
+         |), toks0 AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+         |  FROM raw WHERE term <> ''
+         |), toks AS (
+         |  SELECT doc_id, ${italianStemSql("term")} AS term, pos
+         |  FROM toks0
+         |  WHERE term NOT IN ($ItalianElisionList) AND term NOT IN ($ItalianStopList)
+         |), quant(q) AS (
+         |  SELECT * FROM (VALUES $QuantValues)
+         |), dl0 AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), dl AS (
+         |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 5 = 2) AS n,
+         |         (SELECT sum(dl) FROM dl0)::DOUBLE
+         |           / (SELECT count(*) FROM documents WHERE doc_id % 5 = 2) AS avgdl
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("column")}) scored
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Portuguese chain on the doc_id % 5 = 4 shard: tokenize → stop(PT) →
+    // light stem staged exactly like the engine (suffix → feminine → final
+    // vowel → fold); statistics shard-local
+    "q82_portuguese_stem" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+         |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+         |  FROM documents WHERE doc_id % 5 = 4
+         |), toks0 AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+         |  FROM raw WHERE term <> ''
+         |), toks1 AS (
+         |  SELECT doc_id, pos, term AS orig, ${ptSuffixSql("term")} AS t1
+         |  FROM toks0 WHERE term NOT IN ($PortugueseStopList)
+         |), toks2 AS (
+         |  SELECT doc_id, pos, orig, ${ptFeminineSql("orig", "t1")} AS t2 FROM toks1
+         |), toks AS (
+         |  SELECT doc_id, ${ptFinalSql("orig", "t2")} AS term, pos FROM toks2
+         |), quant(q) AS (
+         |  SELECT * FROM (VALUES $QuantValues)
+         |), dl0 AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), dl AS (
+         |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 5 = 4) AS n,
+         |         (SELECT sum(dl) FROM dl0)::DOUBLE
+         |           / (SELECT count(*) FROM documents WHERE doc_id % 5 = 4) AS avgdl
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("merg")}) scored
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // function score: BM25 × ln(1 + n_chars/100), the formula replayed in SQL
+    "q84_function_score" ->
+      s"""$CTE, scored AS (${termScoreSql("spark")})
+         |SELECT s.doc_id, round(s.score * ln(1.0 + d.n_chars / 100.0), 6) AS score
+         |FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+         |ORDER BY s.score * ln(1.0 + d.n_chars / 100.0) DESC, s.doc_id LIMIT 10""".stripMargin,
+
+    // diversified top-k: per-source cap 2 (ranked by score desc, doc_id asc
+    // within each source), then global top-10 of the survivors
+    "q83_diversified" ->
+      s"""$CTE, scored AS (${termScoreSql("spark")}),
+         |capped AS (
+         |  SELECT s.doc_id, s.score, d.source,
+         |         row_number() OVER (PARTITION BY d.source
+         |                            ORDER BY s.score DESC, s.doc_id) AS rn
+         |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+         |SELECT doc_id, round(score, 6) AS score, source FROM capped
+         |WHERE rn <= 2 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     // graph synonym: the 'stream' span expands to (term 'stream' OR phrase
     // "spark batch") — matching alternatives' scores SUM (a SHOULD boolean,

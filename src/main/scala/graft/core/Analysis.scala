@@ -68,6 +68,32 @@ object Analyzers {
     "mi", "no", "nos", "o", "para", "pero", "por", "que", "se", "si",
     "sin", "sobre", "su", "sus", "también", "un", "una", "uno", "y", "ya")
 
+  /** High-frequency subset of the snowball Italian stop list the reference
+    * ships as `italian_stop.txt`. */
+  val ItalianStopWords: Set[String] = Set(
+    "a", "ad", "al", "alla", "alle", "allo", "ai", "agli", "che", "chi", "con",
+    "da", "dal", "dalla", "del", "della", "delle", "di", "e", "ed", "è",
+    "gli", "il", "in", "la", "le", "lo", "ma", "mi", "nel", "nella", "non",
+    "o", "per", "più", "se", "si", "su", "sul", "sulla", "un", "una", "uno")
+
+  /** High-frequency subset of the snowball Portuguese stop list the
+    * reference ships as `portuguese_stop.txt`. */
+  val PortugueseStopWords: Set[String] = Set(
+    "a", "ao", "aos", "as", "às", "com", "como", "da", "das", "de", "do",
+    "dos", "e", "é", "em", "entre", "mais", "mas", "na", "nas", "não", "no",
+    "nos", "o", "os", "ou", "para", "pela", "pelo", "por", "que", "se",
+    "sem", "seu", "sua", "um", "uma")
+
+  /** The reference CJKAnalyzer's default stop set — common English words
+    * plus "www" (`lucene/analysis/common/src/resources/org/apache/lucene/analysis/cjk/stopwords.txt`;
+    * the file's double-byte interpunctions never reach the stop filter here
+    * because the tokenizer already drops punctuation). */
+  val CjkStopWords: Set[String] = Set(
+    "a", "and", "are", "as", "at", "be", "but", "by", "for", "if", "in",
+    "into", "is", "it", "no", "not", "of", "on", "or", "s", "such", "t",
+    "that", "the", "their", "then", "there", "these", "they", "this", "to",
+    "was", "will", "with", "www")
+
   def byName(name: String): Analyzer = name match {
     case "simple"         => SimpleAnalyzer
     case "standard"       => StandardLikeAnalyzer()
@@ -76,6 +102,9 @@ object Analyzers {
     case "german"         => GermanAnalyzer()
     case "french"         => FrenchAnalyzer()
     case "spanish"        => SpanishAnalyzer()
+    case "cjk"            => CjkAnalyzer()
+    case "italian"        => ItalianAnalyzer()
+    case "portuguese"     => PortugueseAnalyzer()
     case "folding"        => AsciiFoldingAnalyzer()
     case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
       ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)

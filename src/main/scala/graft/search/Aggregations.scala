@@ -135,6 +135,67 @@ object Grouping {
   }
 }
 
+/** Diversity-capped top-k — the reference's `DiversifiedTopDocsCollector`
+  * (`lucene/misc/src/java/org/apache/lucene/misc/search/DiversifiedTopDocsCollector.java:69`):
+  * a global top-k where no key (e.g. site/source/retailer) contributes more
+  * than `maxPerKey` hits. The reference links a per-key priority queue of
+  * size `maxPerKey` to the global queue; the relational equivalence is
+  * per-key top-`maxPerKey` followed by a global top-k (an addition rejected
+  * by its full per-key queue can never be a final hit, and a per-key
+  * eviction is by construction below the global floor).
+  *
+  * Scale shape: the per-key cap runs as a typed Aggregator with a bounded
+  * buffer, so it PARTIALLY AGGREGATES map-side — the shuffle carries at most
+  * `maxPerKey` rows per key per input partition, never the full matched set
+  * (unlike a ranked-window cap, which shuffles every matched row). The
+  * global top-k is a TakeOrdered, not a sort.
+  */
+object Diversify {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  import org.apache.spark.sql.expressions.Aggregator
+
+  /** Bounded per-key hit list ordered (score desc, docId asc) — the per-key
+    * `ScoreDocKey` queue. Buffers are ≤ `m` entries at every stage, so
+    * map-side partial aggregation keeps the shuffle bounded. */
+  private final class TopM(m: Int)
+      extends Aggregator[(String, Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+    private def trim(xs: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      xs.sortBy { case (d, s) => (-s, d) }.take(m)
+    override def zero: Seq[(Long, Double)] = Nil
+    override def reduce(b: Seq[(Long, Double)], a: (String, Long, Double)): Seq[(Long, Double)] =
+      trim((a._2, a._3) +: b)
+    override def merge(b1: Seq[(Long, Double)], b2: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      trim(b1 ++ b2)
+    override def finish(b: Seq[(Long, Double)]): Seq[(Long, Double)] = b
+    override def bufferEncoder: Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] = bufferEncoder
+  }
+
+  /** @param matched   `(docId, score)` frame from [[Searcher]]
+    * @param corpus    table carrying the diversity key, keyed by `docIdCol`
+    * @param keyDim    the key column (at most `maxPerKey` final hits share one)
+    * @return `(docId, score, <keyDim>)`, the diversified top-k
+    */
+  def diversifiedTopK(matched: DataFrame, corpus: DataFrame, docIdCol: String,
+                      keyDim: String, maxPerKey: Int, k: Int): DataFrame = {
+    val spark = matched.sparkSession
+    import spark.implicits._
+    val keyed = matched
+      .join(corpus.select(col(docIdCol).cast("long").as("joinId"),
+        col(keyDim).cast("string").as("divKey")), col("docId") === col("joinId"))
+      .select(col("divKey"), col("docId").cast("long"), col("score").cast("double"))
+      .as[(String, Long, Double)]
+    val cap = new TopM(maxPerKey).toColumn
+    keyed.groupByKey(_._1)
+      .agg(cap.name("hits"))
+      .flatMap { case (key, hits) => hits.map { case (d, s) => (d, s, key) } }
+      .toDF("docId", "score", keyDim)
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
+  }
+}
+
 /** Sampled facet counting — the reference's `RandomSamplingFacetsCollector`
   * (`lucene/facet/src/java/org/apache/lucene/facet/RandomSamplingFacetsCollector.java`):
   * counts over a subsample of the matched docs. Here the sample is the

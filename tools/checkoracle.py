@@ -28,6 +28,10 @@ def norm(df):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # explicit limit: DuckDB sizes its default off memory AVAILABLE AT START,
+    # which is transiently tiny right after the Spark JVM exits — the cause of
+    # spurious "Out of Memory Error" on the last few oracles when chained
+    con.execute("SET memory_limit='8GB'")
     load_tables(con, sf_dir)
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
