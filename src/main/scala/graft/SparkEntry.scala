@@ -627,6 +627,14 @@ object SparkEntry {
       topk(new Searcher(Indexes.portugueseIndex(s, dir), ScoringMode.PreciseBM25())
         .scored(TermQuery("merg")), 10)
     }),
+    "q85_sorted_index_order" -> ((s, dir) => {
+      // TopFieldCollector with searchSort == indexSort: the k earliest docs
+      // for 'spark' via block-metadata early termination (only the k
+      // earliest-firstDoc blocks decode, O(k) work regardless of df)
+      Indexes.searcher(s, dir).searchByIndexOrder("spark", 10)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
     "q84_function_score" -> ((s, dir) => {
       // expressions/FunctionScoreQuery analog: BM25 for 'spark' reweighted by
       // a length prior, formula compiled by Catalyst from a SQL string (the
@@ -1650,6 +1658,12 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("merg")}) scored
          |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // index-order-sorted top-k: the 10 earliest matching docs, scores intact
+    "q85_sorted_index_order" ->
+      s"""$CTE, scored AS (${termScoreSql("spark")})
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |ORDER BY doc_id LIMIT 10""".stripMargin,
 
     // function score: BM25 × ln(1 + n_chars/100), the formula replayed in SQL
     "q84_function_score" ->

@@ -1295,6 +1295,36 @@ final class Searcher(
 
   // ---------------------------------------------------------------- public
 
+  /** Index-order-sorted top-k with EARLY TERMINATION — the reference's
+    * `TopFieldCollector` when the search sort matches the index sort
+    * (`lucene/core/src/java/org/apache/lucene/search/TopFieldCollector.java:51`
+    * `canEarlyTerminate`; each segment stops collecting after k hits because
+    * docs arrive already in sort order).
+    *
+    * Relational form: a term's k smallest matching doc ids live entirely in
+    * the k blocks with the smallest `firstDoc` — every block's `firstDoc` is
+    * a real posting and one term never lists a doc twice, so any doc in a
+    * later block is preceded by ≥ k distinct matches. One TakeOrdered over
+    * BLOCK METADATA (no payloads) picks those candidates; only they are
+    * decoded. Work is O(k·blockSize) regardless of df — the early
+    * termination the index sort buys, vs decoding all df/128 blocks.
+    *
+    * Under pending tombstones a decoded prefix might not cover k LIVE docs
+    * (the reference's early termination counts live collected hits, which a
+    * fixed block prefix can't know) — fall back to the exhaustive path, the
+    * same degradation policy as [[search]]. */
+  def searchByIndexOrder(t: String, k: Int): DataFrame = {
+    val stats = lookupStats(Set(t))
+    stats.get(t) match {
+      case None => emptyFrame
+      case Some(_) if tombstones.isDefined =>
+        scored(TermQuery(t)).orderBy(asc("docId")).limit(k)
+      case Some(ts) =>
+        val candidates = blocksOf(t).orderBy(asc("firstDoc")).limit(k)
+        decodeScored(candidates, termScorer(ts, 1.0)).orderBy(asc("docId")).limit(k)
+    }
+  }
+
   /** Top-k search: `(docId, score)` ordered by score desc, docId asc —
     * the reference's `TopDocs.merge` tiebreak. */
   def search(q: Query, k: Int): DataFrame = {
