@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
 /** Per-process cache of built indexes, keyed by testdata dir. */
 object Indexes {
   private val cache = scala.collection.concurrent.TrieMap.empty[String, InvertedIndex]
+  private val graphCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.Dataset[graft.pipeline.HnswNode]]
+
+  /** Segmented HNSW graphs over the embeddings table (one per partition,
+    * the reference's per-segment graph model), built once and pinned. */
+  def hnswGraph(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[graft.pipeline.HnswNode] =
+    graphCache.getOrElseUpdate(sfDir, {
+      val g = graft.pipeline.Hnsw.build(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding",
+        m = 8, efConstruction = 64, numParts = 4).persist()
+      g.count() // materialize: search must never rebuild graphs per query
+      g
+    })
 
   def documentsIndex(spark: SparkSession, sfDir: String): InvertedIndex =
     cache.getOrElseUpdate(sfDir, {
@@ -626,6 +639,17 @@ object SparkEntry {
       // vowel drop), 'table' → 'tabl', 'value' → 'valu'
       topk(new Searcher(Indexes.portugueseIndex(s, dir), ScoringMode.PreciseBM25())
         .scored(TermQuery("merg")), 10)
+    }),
+    "q86_ann_hnsw" -> ((s, dir) => {
+      // Segmented HNSW kNN (per-partition graphs, rank-merged) — APPROXIMATE
+      // by design, so this gate is rows-only like q52 (no SQL oracle can
+      // replay a graph walk); recall vs the exact oracle is asserted in
+      // HnswSpec, and q20/q69 remain the exact ANN gates
+      graft.pipeline.Hnsw.topKForId(
+          s.read.parquet(s"$dir/embeddings.parquet"), Indexes.hnswGraph(s, dir),
+          "vec_id", "embedding", queryId = 7L, k = 10, efSearch = 96)
+        .select(col("id").as("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
     }),
     "q85_sorted_index_order" -> ((s, dir) => {
       // TopFieldCollector with searchSort == indexSort: the k earliest docs
