@@ -219,6 +219,27 @@ object Indexes {
       IndexBuilder.build(docs, dir, IndexConfig(CjkAnalyzer(), withPositions = true))
     })
 
+  /** Two disjoint half-corpus indexes (even / odd doc ids) combined by
+    * [[IndexBuilder.addIndexes]] — index-level ingest, no re-analysis: the
+    * odd half's segments are adopted into the even index's dir as one
+    * snapshot commit, statistics refreshed over the union. Equivalent to the
+    * one-shot full build for every query (the gate's oracle is the full
+    * corpus). */
+  def addedIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#added", {
+      import spark.implicits._
+      val dirA = java.nio.file.Files.createTempDirectory("graft-index-addA-").toString
+      val dirB = java.nio.file.Files.createTempDirectory("graft-index-addB-").toString
+      val all = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").as("docId"), col("text")).as[InputDoc]
+      IndexBuilder.build(all.filter(_.docId % 2 == 0), dirA,
+        IndexConfig(SimpleAnalyzer, withPositions = true))
+      IndexBuilder.build(all.filter(_.docId % 2 == 1), dirB,
+        IndexConfig(SimpleAnalyzer, withPositions = true))
+      IndexBuilder.addIndexes(spark, dirA, InvertedIndex.open(spark, dirB))
+      InvertedIndex.open(spark, dirA)
+    })
+
   /** Documents index built in TWO snapshot commits: v1 = the even doc ids
     * (base build), v2 = the odd half appended as a micro-batch. Opening
     * `asOf = Some(1)` time-travels to the pre-append state; the latest view
@@ -639,6 +660,14 @@ object SparkEntry {
       // vowel drop), 'table' → 'tabl', 'value' → 'valu'
       topk(new Searcher(Indexes.portugueseIndex(s, dir), ScoringMode.PreciseBM25())
         .scored(TermQuery("merg")), 10)
+    }),
+    "q87_add_indexes" -> ((s, dir) => {
+      // IndexWriter.addIndexes analog: two disjoint half-corpus indexes
+      // combined by segment adoption (no re-analysis, one snapshot commit);
+      // the result must score exactly like the one-shot full build, so the
+      // oracle is the plain full-corpus BM25
+      topk(new Searcher(Indexes.addedIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("merge")), 10)
     }),
     "q86_ann_hnsw" -> ((s, dir) => {
       // Segmented HNSW kNN (per-partition graphs, rank-merged) — APPROXIMATE
@@ -1682,6 +1711,9 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("merg")}) scored
          |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // addIndexes: the combined index IS the full corpus — plain BM25 oracle
+    "q87_add_indexes" -> topkSql(termScoreSql("merge"), 10),
 
     // index-order-sorted top-k: the 10 earliest matching docs, scores intact
     "q85_sorted_index_order" ->

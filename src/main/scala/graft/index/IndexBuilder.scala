@@ -188,6 +188,82 @@ object IndexBuilder {
       prior.map(_.namespaces).getOrElse(Seq(0L)) :+ segNamespace)
   }
 
+  /** Index-level ingest WITHOUT re-analysis — the reference's
+    * `IndexWriter.addIndexes(Directory...)`
+    * (`lucene/core/src/java/org/apache/lucene/index/IndexWriter.java:3087`):
+    * another index's segments are adopted wholesale. Two model differences:
+    *
+    *  - doc ids here are EXTERNAL keys, so there is no docBase renumbering;
+    *    instead doc-id disjointness is validated (a duplicate external id
+    *    would alias two documents, where the reference's internal ordinals
+    *    simply shift);
+    *  - adoption is an Iceberg-style append commit: the source's rows land
+    *    in a fresh `batchNs` partition with relocated segment ids (segment
+    *    identity stays unique in the target — same 2^28 namespace stride as
+    *    streaming appends), statistics refresh, and ONE snapshot commit
+    *    publishes atomically; readers pinned to earlier snapshots never see
+    *    a partial adoption.
+    *
+    * Postings payloads move UNDECODED — adopting N TB of postings is a
+    * columnar copy, never a re-index (not even a block re-encode), because
+    * blocks address external doc ids. Reads through the source's VIEWS, so
+    * merged/purged sources (parent chains) adopt their effective contents.
+    * Pending source tombstones carry over. */
+  def addIndexes(spark: SparkSession, targetDir: String, source: InvertedIndex,
+                 validateDisjoint: Boolean = true): Snapshots.Snapshot = {
+    import spark.implicits._
+    val target = InvertedIndex.open(spark, targetDir)
+    require(source.analyzer.name == target.analyzer.name,
+      s"addIndexes: analyzer mismatch (target '${target.analyzer.name}', " +
+        s"source '${source.analyzer.name}') — queries would analyze differently")
+    if (validateDisjoint) {
+      val overlap = target.docs.select("docId")
+        .join(source.docs.select("docId"), Seq("docId"), "left_semi")
+        .limit(1).count()
+      require(overlap == 0L, "addIndexes: source and target doc id spaces overlap")
+    }
+    val tgtNss = Snapshots.latest(targetDir).map(_.namespaces).getOrElse(Seq(0L))
+    val newNs = math.max(tgtNss.max, 1L << 40) + (1L << 28)
+    // dense deterministic segment-id relocation (one row per source flush)
+    val srcSegs = source.segments.select("segmentId").distinct()
+      .orderBy("segmentId").collect().map(_.getLong(0))
+    val segMap = srcSegs.zipWithIndex.map { case (s, i) => s -> (newNs + i.toLong) }.toMap
+    val bc = spark.sparkContext.broadcast(segMap)
+
+    val docRows = source.docs
+      .select("docId", "segmentId", "doclen", "dlb").as[(Long, Long, Int, Byte)]
+      .map { case (id, seg, len, dlb) => StageRow.doc(bc.value(seg), id, len, dlb) }
+    val postingRows = source.postings
+      .select("term", "segmentId", "blockGroup", "df", "ttf", "blocks")
+      .as[(String, Long, Int, Int, Long, Seq[PostingBlock])]
+      .map { case (t, seg, bg, df, ttf, blocks) =>
+        StageRow.postings(bc.value(seg), t, bg, df, ttf, blocks) }
+    val segmentRows = source.segments
+      .select("segmentId", "partitionId", "numDocs", "sumDoclen", "numTerms",
+        "postingsFlushed", "flushOrdinal")
+      .as[(Long, Int, Long, Long, Long, Long, Int)]
+      .map { case (seg, pid, nd, sdl, nt, pf, fo) =>
+        StageRow.segment(bc.value(seg), pid, nd, sdl, nt, pf, fo) }
+
+    docRows.unionAll(postingRows).unionAll(segmentRows)
+      .toDF().withColumn("batchNs", lit(newNs))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("kind", "batchNs")
+      .option("parquet.block.size", 32 * 1024 * 1024)
+      .option("compression", "zstd")
+      .parquet(s"$targetDir/data")
+
+    source.deletedDocs.foreach { d =>
+      d.select("docId").write.mode("append").parquet(s"$targetDir/deletes")
+    }
+    val prior = Snapshots.latest(targetDir)
+    val nextVersion = prior.map(_.version + 1).getOrElse(1)
+    refreshStats(spark, targetDir, version = nextVersion)
+    Snapshots.commit(targetDir, "addIndexes",
+      prior.map(_.namespaces).getOrElse(Seq(0L)) :+ newNs)
+  }
+
   /** Diagnostic hook: a raw SegmentFlusher iterator (graft.tools.BuildProbe). */
   private[graft] def flusherFor(cfg: IndexConfig, segNamespace: Long, pid: Int,
                                 docs: Iterator[InputDoc]): Iterator[StageRow] =

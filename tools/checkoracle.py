@@ -41,7 +41,16 @@ def main():
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
             got = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(spark_dir + "/*.parquet"))])
-            want = con.execute(sql).fetchdf()
+            try:
+                want = con.execute(sql).fetchdf()
+            except Exception:
+                # DuckDB sporadically reports OOM late in a long connection
+                # even at tiny allocations — retry once on a fresh connection
+                con.close()
+                con = duckdb.connect()
+                con.execute("SET memory_limit='8GB'")
+                load_tables(con, sf_dir)
+                want = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         g, w = norm(got), norm(want)
