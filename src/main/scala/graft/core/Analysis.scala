@@ -529,9 +529,71 @@ final case class SpanishAnalyzer(stopWords: Set[String] = Analyzers.SpanishStopW
   * the per-row invariant is strip(html) == text exactly).
   */
 object HtmlStrip extends Serializable {
-  private val entities = Map(
-    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
-    "nbsp" -> " ")
+  /** Named character references — the HTML4 set the reference's generated
+    * `HTMLCharacterEntities.jflex` covers (restricted to the names that
+    * occur in practice; the reference's table is HTML5-complete). */
+  private val entities: Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    m ++= Seq(
+      "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+      "nbsp" -> " ") // the reference maps nbsp to a PLAIN space (HTMLCharacterEntities.jflex:124)
+    // Latin-1 block (HTML4 lat1): &iexcl; .. &yuml; are U+00A1..U+00FF in order
+    val lat1 = Seq(
+      "iexcl", "cent", "pound", "curren", "yen", "brvbar", "sect", "uml",
+      "copy", "ordf", "laquo", "not", "shy", "reg", "macr", "deg", "plusmn",
+      "sup2", "sup3", "acute", "micro", "para", "middot", "cedil", "sup1",
+      "ordm", "raquo", "frac14", "frac12", "frac34", "iquest", "Agrave",
+      "Aacute", "Acirc", "Atilde", "Auml", "Aring", "AElig", "Ccedil",
+      "Egrave", "Eacute", "Ecirc", "Euml", "Igrave", "Iacute", "Icirc",
+      "Iuml", "ETH", "Ntilde", "Ograve", "Oacute", "Ocirc", "Otilde", "Ouml",
+      "times", "Oslash", "Ugrave", "Uacute", "Ucirc", "Uuml", "Yacute",
+      "THORN", "szlig", "agrave", "aacute", "acirc", "atilde", "auml",
+      "aring", "aelig", "ccedil", "egrave", "eacute", "ecirc", "euml",
+      "igrave", "iacute", "icirc", "iuml", "eth", "ntilde", "ograve",
+      "oacute", "ocirc", "otilde", "ouml", "divide", "oslash", "ugrave",
+      "uacute", "ucirc", "uuml", "yacute", "thorn", "yuml")
+    lat1.zipWithIndex.foreach { case (name, i) => m += name -> (0xA1 + i).toChar.toString }
+    // Greek (HTML4 symbol set); U+03A2 is unassigned, so Sigma onward shift by one
+    val greekUpper = Seq("Alpha", "Beta", "Gamma", "Delta", "Epsilon", "Zeta",
+      "Eta", "Theta", "Iota", "Kappa", "Lambda", "Mu", "Nu", "Xi", "Omicron",
+      "Pi", "Rho", "Sigma", "Tau", "Upsilon", "Phi", "Chi", "Psi", "Omega")
+    greekUpper.zipWithIndex.foreach { case (name, i) =>
+      val cp = if (i >= 17) 0x392 + i else 0x391 + i
+      m += name -> cp.toChar.toString
+    }
+    val greekLower = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigmaf", "sigma", "tau", "upsilon", "phi", "chi", "psi",
+      "omega")
+    greekLower.zipWithIndex.foreach { case (name, i) => m += name -> (0x3C2 + i - 17).toChar.toString }
+    // common typographic / symbol references
+    m ++= Seq(
+      "OElig" -> "\u0152", "oelig" -> "\u0153", "Scaron" -> "\u0160",
+      "scaron" -> "\u0161", "Yuml" -> "\u0178", "fnof" -> "\u0192",
+      "ndash" -> "\u2013", "mdash" -> "\u2014", "lsquo" -> "\u2018",
+      "rsquo" -> "\u2019", "sbquo" -> "\u201a", "ldquo" -> "\u201c",
+      "rdquo" -> "\u201d", "bdquo" -> "\u201e", "dagger" -> "\u2020",
+      "Dagger" -> "\u2021", "bull" -> "\u2022", "hellip" -> "\u2026",
+      "permil" -> "\u2030", "prime" -> "\u2032", "Prime" -> "\u2033",
+      "lsaquo" -> "\u2039", "rsaquo" -> "\u203a", "oline" -> "\u203e",
+      "frasl" -> "\u2044", "euro" -> "\u20ac", "trade" -> "\u2122",
+      "minus" -> "\u2212", "infin" -> "\u221e", "ne" -> "\u2260",
+      "le" -> "\u2264", "ge" -> "\u2265", "larr" -> "\u2190",
+      "uarr" -> "\u2191", "rarr" -> "\u2192", "darr" -> "\u2193",
+      "harr" -> "\u2194", "ensp" -> "\u2002", "emsp" -> "\u2003",
+      "thinsp" -> "\u2009", "zwnj" -> "\u200c", "zwj" -> "\u200d",
+      "lrm" -> "\u200e", "rlm" -> "\u200f")
+    m.result()
+  }
+
+  /** The reference's inline-element set (`HTMLStripCharFilter.jflex:117-142`,
+    * `InlineElment`): these strip SILENTLY; every other element is replaced
+    * by `'\n'` (`BLOCK_LEVEL_*_TAG_REPLACEMENT`, `HTMLStripCharFilter.java:5234`). */
+  private val inlineElements = Set(
+    "a", "b", "i", "q", "s", "u", "abbr", "acronym", "basefont", "bdo",
+    "big", "cite", "code", "dfn", "em", "font", "img", "input", "kbd",
+    "label", "samp", "select", "small", "span", "strike", "strong", "sub",
+    "sup", "textarea", "tt", "var")
 
   def apply(html: String): String = {
     val out = new java.lang.StringBuilder(html.length)
@@ -557,16 +619,7 @@ object HtmlStrip extends Serializable {
       } else if (c == '&') {
         val semi = html.indexOf(';', i)
         if (semi > i && semi - i <= 10) {
-          val name = html.substring(i + 1, semi)
-          val decoded =
-            if (name.startsWith("#x") || name.startsWith("#X"))
-              try Some(new String(Character.toChars(Integer.parseInt(name.substring(2), 16))))
-              catch { case _: Exception => None }
-            else if (name.startsWith("#"))
-              try Some(new String(Character.toChars(Integer.parseInt(name.substring(1)))))
-              catch { case _: Exception => None }
-            else entities.get(name)
-          decoded match {
+          decodeEntity(html.substring(i + 1, semi)) match {
             case Some(s) => out.append(s); i = semi + 1
             case None    => out.append(c); i += 1
           }
@@ -578,6 +631,92 @@ object HtmlStrip extends Serializable {
     }
     out.toString
   }
+
+  /** Reference-fidelity strip mode — `HTMLStripCharFilter`'s documented
+    * output shape (`HTMLStripCharFilter.jflex`): inline elements
+    * ([[inlineElements]]) strip silently, every OTHER element (open, close
+    * or self-closing) is replaced by `'\n'`, script/style bodies collapse
+    * to one `'\n'`, comments and `<! … >` declarations strip to nothing,
+    * and tag scanning is QUOTE-AWARE (a `>` inside a quoted attribute value
+    * does not end the tag — the server-side-include vectors). Entity
+    * decoding is shared with [[apply]].
+    *
+    * [[apply]] stays the corpus-contract mode (all tags strip silently):
+    * the synthetic webtext invariant is `strip(html) == text` byte-exact,
+    * and its `<p>`-wrapped bodies must not grow newlines. Divergences from
+    * the generated DFA (script bodies containing a quoted `</script>`,
+    * interleaved malformed tags) are quantified in HtmlFidelitySpec. */
+  def lucene(html: String): String = {
+    val out = new java.lang.StringBuilder(html.length)
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val close = html.indexOf("-->", i + 4)
+          i = if (close < 0) n else close + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          // declaration / processing instruction: strip to nothing
+          val close = html.indexOf('>', i)
+          i = if (close < 0) n else close + 1
+        } else if (startsWithIgnoreCase(html, i + 1, "script") || startsWithIgnoreCase(html, i + 1, "style")) {
+          val tag = if (startsWithIgnoreCase(html, i + 1, "script")) "script" else "style"
+          val close = indexOfIgnoreCase(html, "</" + tag, i)
+          i = if (close < 0) n else {
+            val gt = html.indexOf('>', close)
+            if (gt < 0) n else gt + 1
+          }
+          out.append('\n') // the whole element collapses to one newline
+        } else {
+          // tag name: letters/digits after optional '/'
+          var j = i + 1
+          val closing = j < n && html.charAt(j) == '/'
+          if (closing) j += 1
+          val nameStart = j
+          while (j < n && Character.isLetterOrDigit(html.charAt(j))) j += 1
+          val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+          // quote-aware scan to the tag's real end
+          var quote: Char = 0
+          var k = j
+          var end = -1
+          while (end < 0 && k < n) {
+            val ch = html.charAt(k)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '>') end = k
+            k += 1
+          }
+          if (name.isEmpty || end < 0) { out.append(c); i += 1 } // not a tag: literal '<'
+          else {
+            if (!inlineElements.contains(name)) out.append('\n')
+            i = end + 1
+          }
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i)
+        if (semi > i && semi - i <= 10) {
+          decodeEntity(html.substring(i + 1, semi)) match {
+            case Some(s) => out.append(s); i = semi + 1
+            case None    => out.append(c); i += 1
+          }
+        } else { out.append(c); i += 1 }
+      } else {
+        out.append(c)
+        i += 1
+      }
+    }
+    out.toString
+  }
+
+  private[core] def decodeEntity(name: String): Option[String] =
+    if (name.startsWith("#x") || name.startsWith("#X"))
+      try Some(new String(Character.toChars(Integer.parseInt(name.substring(2), 16))))
+      catch { case _: Exception => None }
+    else if (name.startsWith("#"))
+      try Some(new String(Character.toChars(Integer.parseInt(name.substring(1)))))
+      catch { case _: Exception => None }
+    else entities.get(name)
 
   private def startsWithIgnoreCase(s: String, off: Int, prefix: String): Boolean =
     s.regionMatches(true, off, prefix, 0, prefix.length)
