@@ -36,6 +36,74 @@ object Dedup {
       .withColumn("group_size", count(lit(1)).over(w))
   }
 
+  /** Transitive closure of near-duplicate PAIRS into clusters — the step a
+    * training-data pipeline runs after [[minhashLshPairs]] /
+    * [[simhashPairs]] / [[jaccardPrefixPairs]]: a pair list is not a dedup
+    * decision until A~B, B~C collapse into one cluster with one survivor.
+    *
+    * Algorithm: iterative min-label propagation with POINTER JUMPING — each
+    * round every node takes `min(own, neighbors' labels)` and then
+    * shortcuts `label := label(label)` (every label is itself a node id, so
+    * the hop is a self-join). Neighbor-min alone moves a label one hop per
+    * round (a diameter-d path needs d rounds); the jump halves remaining
+    * chains, giving O(log d) rounds — the same doubling idea as the
+    * alternating-star algorithm (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"). Each round is two keyed shuffles; lineage is
+    * truncated per round so plan size stays constant. Throws if the cap is
+    * hit before the fixpoint (silent partial components would poison a
+    * dedup decision).
+    *
+    * @return `(id, component)` for every node that appears in `pairs`,
+    *         where `component` is the cluster's minimum id. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .unionAll(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .distinct().persist()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbr = edges
+        .join(labels.select(col("id").as("v"), col("label").as("vlabel")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("vlabel")).as("nbrMin"))
+      val propagated = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"))
+      // pointer jump: label := label(label) — labels are node ids, so this
+      // is a self-join; halves any remaining chain each round
+      val next = propagated
+        .join(propagated.select(col("id").as("label"), col("label").as("jump")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("jump"), col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") < col("old")).limit(1).count() == 0L
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    require(converged, s"connectedComponents: no fixpoint after $maxIters rounds")
+    labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Cluster-and-keep: collapse near-dup pairs into components and keep one
+    * survivor (the minimum id) per cluster — rows of `df` outside any pair
+    * survive untouched. Returns `df` plus a `component` column (= own id for
+    * unclustered rows), filtered to survivors. */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+                   aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    df.join(comp.withColumnRenamed("id", "joinId"),
+        col(idCol) === col("joinId"), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol).cast("long")))
+      .drop("joinId")
+      .filter(col(idCol).cast("long") === col("component"))
+  }
+
   /** Distinct `(doc, shingle)` table — the shared input of the signature,
     * candidate, and verify stages. Callers that run more than one stage
     * should compute it ONCE and persist it (see [[minhashLshPairs]]): the

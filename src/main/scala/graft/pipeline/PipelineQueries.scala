@@ -45,6 +45,17 @@ object PipelineQueries {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a", "b")
     }),
+    "q88_dedup_cluster" -> ((s, dir) => {
+      // transitive closure of the minhash near-dup pairs into clusters: the
+      // decision step of a dedup pipeline (A~B, B~C collapse to one
+      // component = min doc_id); iterative min-label propagation, one
+      // shuffle per round, rounds = cluster diameter
+      Dedup.connectedComponents(
+          Dedup.minhashLshPairs(documents(s, dir), "text", "doc_id", tau = 0.9),
+          "a", "b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
     "q18_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(documents(s, dir), "text", "doc_id", maxHamming = 3)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
@@ -168,6 +179,27 @@ object PipelineQueries {
         |SELECT doc_id, keep_id FROM g WHERE doc_id <> keep_id ORDER BY doc_id""".stripMargin,
 
     "q17_dedup_minhash" -> jaccardPairsSql(0.9),
+
+    // components of the EXACT τ=0.9 pair graph (q17 proves the engine's LSH
+    // pair set equals it), closed transitively by a recursive CTE
+    "q88_dedup_cluster" ->
+      s"""${SHINGLE_CTE.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM sh x JOIN sh y ON x.sg = y.sg AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT a, b FROM inter
+         |  JOIN shsz sa ON sa.doc_id = a
+         |  JOIN shsz sb ON sb.doc_id = b
+         |  WHERE c::DOUBLE / (sa.nsh + sb.nsh - c) >= 0.9),
+         |edges AS (SELECT a AS u, b AS v FROM p UNION SELECT b AS u, a AS v FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, least(u, min(v)) AS component
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
 
     "q18_dedup_simhash" ->
       """WITH raw AS (
