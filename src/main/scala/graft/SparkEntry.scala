@@ -219,6 +219,21 @@ object Indexes {
       IndexBuilder.build(docs, dir, IndexConfig(CjkAnalyzer(), withPositions = true))
     })
 
+  private val sortedCache =
+    scala.collection.concurrent.TrieMap.empty[String, (InvertedIndex, DataFrame)]
+
+  /** Documents index SORTED by `n_chars` (IndexWriterConfig.setIndexSort
+    * analog): dense internal ids in global (n_chars, doc_id) order, with the
+    * id map persisted beside the index — sorted top-k early-terminates and
+    * sort-field ranges become doc-id ranges. */
+  def sortedIndex(spark: SparkSession, sfDir: String): (InvertedIndex, DataFrame) =
+    sortedCache.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-sorted-").toString
+      IndexSort.buildSorted(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "n_chars",
+        "text", dir, IndexConfig(SimpleAnalyzer, withPositions = true))
+    })
+
   /** Two disjoint half-corpus indexes (even / odd doc ids) combined by
     * [[IndexBuilder.addIndexes]] — index-level ingest, no re-analysis: the
     * odd half's segments are adopted into the even index's dir as one
@@ -660,6 +675,24 @@ object SparkEntry {
       // vowel drop), 'table' → 'tabl', 'value' → 'valu'
       topk(new Searcher(Indexes.portugueseIndex(s, dir), ScoringMode.PreciseBM25())
         .scored(TermQuery("merg")), 10)
+    }),
+    "q89_sorted_field_topk" -> ((s, dir) => {
+      // index sorted by n_chars: the 10 shortest docs containing 'spark',
+      // early-terminated (k earliest blocks decode, regardless of df),
+      // mapped back to external ids
+      val (idx, smap) = Indexes.sortedIndex(s, dir)
+      IndexSort.topKBySortField(s, idx, smap, "spark", 10)
+        .select(col("extId").as("doc_id"), col("sortKey").as("n_chars"),
+          round(col("score"), 6).as("score"))
+    }),
+    "q90_sorted_field_range" -> ((s, dir) => {
+      // sort-field range → doc-id range (block-metadata skip before decode):
+      // 'spark' docs with n_chars in [150, 300]
+      val (idx, smap) = Indexes.sortedIndex(s, dir)
+      IndexSort.sortFieldRange(s, idx, smap, "spark", 150L, 300L)
+        .select(col("extId").as("doc_id"), col("sortKey").as("n_chars"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
     }),
     "q87_add_indexes" -> ((s, dir) => {
       // IndexWriter.addIndexes analog: two disjoint half-corpus indexes
@@ -1714,6 +1747,21 @@ object SparkEntry {
 
     // addIndexes: the combined index IS the full corpus — plain BM25 oracle
     "q87_add_indexes" -> topkSql(termScoreSql("merge"), 10),
+
+    // sorted-field top-k: 10 shortest 'spark' docs by (n_chars, doc_id)
+    "q89_sorted_field_topk" ->
+      s"""$CTE, scored AS (${termScoreSql("spark")})
+         |SELECT s.doc_id, d.n_chars, round(s.score, 6) AS score
+         |FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+         |ORDER BY d.n_chars, s.doc_id LIMIT 10""".stripMargin,
+
+    // sort-field range (answered as a doc-id range by the engine)
+    "q90_sorted_field_range" ->
+      s"""$CTE, scored AS (${termScoreSql("spark")})
+         |SELECT s.doc_id, d.n_chars, round(s.score, 6) AS score
+         |FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+         |WHERE d.n_chars BETWEEN 150 AND 300
+         |ORDER BY s.doc_id""".stripMargin,
 
     // index-order-sorted top-k: the 10 earliest matching docs, scores intact
     "q85_sorted_index_order" ->
