@@ -676,6 +676,17 @@ object SparkEntry {
       topk(new Searcher(Indexes.portugueseIndex(s, dir), ScoringMode.PreciseBM25())
         .scored(TermQuery("merg")), 10)
     }),
+    "q91_explain" -> ((s, dir) => {
+      // IndexSearcher.explain analog: per-clause score breakdown for the
+      // first doc matching 'spark AND data' — leaf rows plus a total row
+      // equal to scored()'s value
+      val searcher = Indexes.searcher(s, dir)
+      val q = BooleanQuery.must(TermQuery("spark"), TermQuery("data"))
+      val target = searcher.scored(q).agg(min("docId")).head().getLong(0)
+      searcher.explain(q, target)
+        .select(col("clause"), col("occur"), round(col("score"), 6).as("score"))
+        .orderBy("clause")
+    }),
     "q89_sorted_field_topk" -> ((s, dir) => {
       // index sorted by n_chars: the 10 shortest docs containing 'spark',
       // early-terminated (k earliest blocks decode, regardless of df),
@@ -1747,6 +1758,18 @@ object SparkEntry {
 
     // addIndexes: the combined index IS the full corpus — plain BM25 oracle
     "q87_add_indexes" -> topkSql(termScoreSql("merge"), 10),
+
+    // explain: per-clause breakdown at the first doc matching both terms
+    "q91_explain" ->
+      s"""$CTE, s1 AS (${termScoreSql("spark")}), s2 AS (${termScoreSql("data")}),
+         |pair AS (
+         |  SELECT s1.doc_id, s1.score AS sp, s2.score AS da
+         |  FROM s1 JOIN s2 ON s1.doc_id = s2.doc_id),
+         |t AS (SELECT * FROM pair WHERE doc_id = (SELECT min(doc_id) FROM pair))
+         |SELECT 'spark' AS clause, 'MUST' AS occur, round(sp, 6) AS score FROM t
+         |UNION ALL SELECT 'data', 'MUST', round(da, 6) FROM t
+         |UNION ALL SELECT 'total', 'TOTAL', round(sp + da, 6) FROM t
+         |ORDER BY clause""".stripMargin,
 
     // sorted-field top-k: 10 shortest 'spark' docs by (n_chars, doc_id)
     "q89_sorted_field_topk" ->

@@ -1295,6 +1295,47 @@ final class Searcher(
 
   // ---------------------------------------------------------------- public
 
+  /** Score explanation for ONE document — the reference's
+    * `IndexSearcher.explain(Query, docID)`
+    * (`lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java:710`):
+    * the per-clause breakdown a user reads to debug relevance. The reference
+    * returns a nested `Explanation` tree; relationally this flattens to one
+    * row per SCORING LEAF — `(clause, occur, score)` — plus a `total` row
+    * whose value equals `scored(q)` at the doc (asserted by ExplainSpec).
+    * MUST_NOT / FILTER clauses gate matching but contribute no score, like
+    * the reference's non-scoring sub-explanations; a leaf that does not
+    * match the doc is simply absent (`Explanation.noMatch`). Any shape
+    * without a flat decomposition explains as the single `query` leaf. */
+  def explain(q: Query, docId: Long): DataFrame = {
+    val rewritten = QueryRewriter.rewrite(q)
+    // flatten to scoring leaves with effective boosts + occur labels
+    def leaves(query: Query, occur: String, boost: Double): Seq[(String, String, Query, Double)] =
+      query match {
+        case BooleanQuery(clauses, _) =>
+          clauses.flatMap {
+            case (Occur.MUST, c) => leaves(c, "MUST", boost)
+            case (Occur.SHOULD, c) => leaves(c, "SHOULD", boost)
+            case (Occur.FILTER, _) | (Occur.MUST_NOT, _) => Nil // non-scoring
+          }
+        case BoostQuery(inner, b) => leaves(inner, occur, boost * b)
+        case t @ TermQuery(term) => Seq((term, occur, t, boost))
+        case d @ DisjunctionMaxQuery(ds, _) if d.tieBreaker == 0f =>
+          ds.flatMap(leaves(_, "MAX", boost))
+        case other => Seq(("query", occur, other, boost))
+      }
+    val parts = leaves(rewritten, "MUST", 1.0)
+    val stats = lookupStats(exactTerms(rewritten))
+    val rows = parts.map { case (label, occur, leaf, boost) =>
+      applyLive(compile(leaf, stats, boost))
+        .filter(col("docId") === lit(docId))
+        .select(lit(label).as("clause"), lit(occur).as("occur"), col("score"))
+    }
+    val total = applyLive(compile(rewritten, stats, 1.0))
+      .filter(col("docId") === lit(docId))
+      .select(lit("total").as("clause"), lit("TOTAL").as("occur"), col("score"))
+    (rows :+ total).reduce(_ unionAll _)
+  }
+
   /** Index-order-sorted top-k with EARLY TERMINATION — the reference's
     * `TopFieldCollector` when the search sort matches the index sort
     * (`lucene/core/src/java/org/apache/lucene/search/TopFieldCollector.java:51`
