@@ -202,6 +202,36 @@ object Indexes {
       IndexBuilder.build(docs, dir, IndexConfig(PortugueseAnalyzer(), withPositions = true))
     })
 
+  /** The `doc_id % 5 = 1` shard through the Swedish chain
+    * ([[graft.core.SwedishAnalyzer]]: tokenize → lowercase → stop(SV) →
+    * light stem), pinned to the reference's svlight.txt vocabulary by
+    * LightStemmersSpec. */
+  def swedishIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#sv", {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-sv-").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id").as("docId"), col("text"))
+        .as[InputDoc]
+      IndexBuilder.build(docs, dir, IndexConfig(SwedishAnalyzer(), withPositions = true))
+    })
+
+  /** The `doc_id % 5 = 3` shard through the Norwegian Bokmål chain
+    * ([[graft.core.NorwegianAnalyzer]]: tokenize → lowercase → stop(NO) →
+    * light stem, `NorwegianLightStemFilter`'s Bokmål-only default), pinned
+    * to the reference's nb_light.txt vectors by LightStemmersSpec. */
+  def norwegianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#no", {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-no-").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 5 === 3)
+        .select(col("doc_id").as("docId"), col("text"))
+        .as[InputDoc]
+      IndexBuilder.build(docs, dir, IndexConfig(NorwegianAnalyzer(), withPositions = true))
+    })
+
   /** The `lang='zh'` corpus slice indexed through the CJK chain
     * ([[graft.core.CjkAnalyzer]]: tokenize → width fold → lowercase → CJK
     * bigrams → stop, reference `CJKAnalyzer` composition). The synthetic zh
@@ -676,6 +706,20 @@ object SparkEntry {
       topk(new Searcher(Indexes.portugueseIndex(s, dir), ScoringMode.PreciseBM25())
         .scored(TermQuery("merg")), 10)
     }),
+    "q92_swedish_stem" -> ((s, dir) => {
+      // Swedish chain on the doc_id % 5 = 1 shard: 'tables' → possessive-s
+      // strip → 'table' → final-e drop → 'tabl' conflates with 'table';
+      // stemmer pinned to the reference's svlight.txt by LightStemmersSpec
+      topk(new Searcher(Indexes.swedishIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("tabl")), 10)
+    }),
+    "q93_norwegian_stem" -> ((s, dir) => {
+      // Norwegian Bokmål chain on the doc_id % 5 = 3 shard: 'data'/'date'/
+      // 'dates' all reach 'dat' (possessive strip + final-vowel drop);
+      // stemmer pinned to the reference's nb_light.txt vectors
+      topk(new Searcher(Indexes.norwegianIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("dat")), 10)
+    }),
     "q91_explain" -> ((s, dir) => {
       // IndexSearcher.explain analog: per-clause score breakdown for the
       // first doc matching 'spark AND data' — leaf rows plus a total row
@@ -816,6 +860,12 @@ object SparkEntry {
   private val PortugueseStopList: String =
     Analyzers.PortugueseStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
 
+  /** SQL literal lists of the Swedish / Norwegian stop sets (q92/q93). */
+  private val SwedishStopList: String =
+    Analyzers.SwedishStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val NorwegianStopList: String =
+    Analyzers.NorwegianStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+
   /** [[graft.core.FrenchLightStem]] as SQL (ASCII corpus: fold = identity). */
   private def frenchStemSql(t: String): String =
     s"""CASE
@@ -846,6 +896,57 @@ object SparkEntry {
        |  WHEN length($t) >= 5 AND ($t LIKE '%em' OR $t LIKE '%en' OR $t LIKE '%er' OR $t LIKE '%es')
        |    THEN substr($t, 1, length($t) - 2)
        |  WHEN length($t) >= 4 AND ($t LIKE '%e' OR $t LIKE '%n' OR $t LIKE '%s')
+       |    THEN substr($t, 1, length($t) - 1)
+       |  ELSE $t END""".stripMargin
+
+  /** [[graft.core.SwedishLightStem]]'s possessive `-s` strip as SQL — the
+    * stage BEFORE the suffix family (the reference strips `s` first and the
+    * later length guards see the shortened word). Shared with the Norwegian
+    * oracle, whose possessive rule is identical. */
+  private def svNoPossSql(t: String): String =
+    s"CASE WHEN length($t) > 4 AND $t LIKE '%s' THEN substr($t, 1, length($t) - 1) ELSE $t END"
+
+  /** [[graft.core.SwedishLightStem]]'s suffix family as SQL, applied to the
+    * possessive-stripped column (exact rule order and length guards of
+    * `SwedishLightStemmer.java:67-101`; ASCII corpus, no folding exists in
+    * the Swedish algorithm anyway). */
+  private def swedishStemSql(t: String): String =
+    s"""CASE
+       |  WHEN length($t) > 7 AND ($t LIKE '%elser' OR $t LIKE '%heten')
+       |    THEN substr($t, 1, length($t) - 5)
+       |  WHEN length($t) > 6 AND ($t LIKE '%arne' OR $t LIKE '%erna' OR $t LIKE '%ande'
+       |       OR $t LIKE '%else' OR $t LIKE '%aste' OR $t LIKE '%orna' OR $t LIKE '%aren')
+       |    THEN substr($t, 1, length($t) - 4)
+       |  WHEN length($t) > 5 AND ($t LIKE '%are' OR $t LIKE '%ast' OR $t LIKE '%het')
+       |    THEN substr($t, 1, length($t) - 3)
+       |  WHEN length($t) > 4 AND ($t LIKE '%ar' OR $t LIKE '%er' OR $t LIKE '%or'
+       |       OR $t LIKE '%en' OR $t LIKE '%at' OR $t LIKE '%te' OR $t LIKE '%et')
+       |    THEN substr($t, 1, length($t) - 2)
+       |  WHEN length($t) > 3 AND ($t LIKE '%t' OR $t LIKE '%a' OR $t LIKE '%e' OR $t LIKE '%n')
+       |    THEN substr($t, 1, length($t) - 1)
+       |  ELSE $t END""".stripMargin
+
+  /** [[graft.core.NorwegianLightStem]] (Bokmål-only default flags) as SQL on
+    * the possessive-stripped column — the Bokmål arms of
+    * `NorwegianLightStemmer.java:88-180` in their exact order (the Nynorsk
+    * arms are compiled out by the flags, as in the engine's default). */
+  private def norwegianStemSql(t: String): String =
+    s"""CASE
+       |  WHEN length($t) > 7 AND ($t LIKE '%heter' OR $t LIKE '%heten')
+       |    THEN substr($t, 1, length($t) - 5)
+       |  WHEN length($t) > 5 AND ($t LIKE '%dom' OR $t LIKE '%het')
+       |    THEN substr($t, 1, length($t) - 3)
+       |  WHEN length($t) > 7 AND ($t LIKE '%elser' OR $t LIKE '%elsen')
+       |    THEN substr($t, 1, length($t) - 5)
+       |  WHEN length($t) > 6 AND ($t LIKE '%ende' OR $t LIKE '%else' OR $t LIKE '%este'
+       |       OR $t LIKE '%eren')
+       |    THEN substr($t, 1, length($t) - 4)
+       |  WHEN length($t) > 5 AND ($t LIKE '%ere' OR $t LIKE '%est' OR $t LIKE '%ene')
+       |    THEN substr($t, 1, length($t) - 3)
+       |  WHEN length($t) > 4 AND ($t LIKE '%er' OR $t LIKE '%en' OR $t LIKE '%et'
+       |       OR $t LIKE '%st' OR $t LIKE '%te')
+       |    THEN substr($t, 1, length($t) - 2)
+       |  WHEN length($t) > 3 AND ($t LIKE '%a' OR $t LIKE '%e' OR $t LIKE '%n')
        |    THEN substr($t, 1, length($t) - 1)
        |  ELSE $t END""".stripMargin
 
@@ -1754,6 +1855,66 @@ object SparkEntry {
          |           / (SELECT count(*) FROM documents WHERE doc_id % 5 = 4) AS avgdl
          |)
          |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("merg")}) scored
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Swedish chain on the doc_id % 5 = 1 shard: tokenize → stop(SV, surface
+    // form) → possessive-s strip → suffix family (exact engine staging);
+    // statistics shard-local like q81/q82
+    "q92_swedish_stem" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+         |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+         |  FROM documents WHERE doc_id % 5 = 1
+         |), toks0 AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+         |  FROM raw WHERE term <> ''
+         |), toks1 AS (
+         |  SELECT doc_id, pos, ${svNoPossSql("term")} AS t1
+         |  FROM toks0 WHERE term NOT IN ($SwedishStopList)
+         |), toks AS (
+         |  SELECT doc_id, ${swedishStemSql("t1")} AS term, pos FROM toks1
+         |), quant(q) AS (
+         |  SELECT * FROM (VALUES $QuantValues)
+         |), dl0 AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), dl AS (
+         |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 5 = 1) AS n,
+         |         (SELECT sum(dl) FROM dl0)::DOUBLE
+         |           / (SELECT count(*) FROM documents WHERE doc_id % 5 = 1) AS avgdl
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("tabl")}) scored
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Norwegian Bokmål chain on the doc_id % 5 = 3 shard, staged like q92
+    "q93_norwegian_stem" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+         |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+         |  FROM documents WHERE doc_id % 5 = 3
+         |), toks0 AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+         |  FROM raw WHERE term <> ''
+         |), toks1 AS (
+         |  SELECT doc_id, pos, ${svNoPossSql("term")} AS t1
+         |  FROM toks0 WHERE term NOT IN ($NorwegianStopList)
+         |), toks AS (
+         |  SELECT doc_id, ${norwegianStemSql("t1")} AS term, pos FROM toks1
+         |), quant(q) AS (
+         |  SELECT * FROM (VALUES $QuantValues)
+         |), dl0 AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), dl AS (
+         |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 5 = 3) AS n,
+         |         (SELECT sum(dl) FROM dl0)::DOUBLE
+         |           / (SELECT count(*) FROM documents WHERE doc_id % 5 = 3) AS avgdl
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("dat")}) scored
          |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
 
     // addIndexes: the combined index IS the full corpus — plain BM25 oracle

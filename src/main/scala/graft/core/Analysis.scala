@@ -84,6 +84,48 @@ object Analyzers {
     "nos", "o", "os", "ou", "para", "pela", "pelo", "por", "que", "se",
     "sem", "seu", "sua", "um", "uma")
 
+  /** High-frequency subset of the snowball Swedish stop list the reference
+    * ships as `swedish_stop.txt`. */
+  val SwedishStopWords: Set[String] = Set(
+    "och", "det", "att", "i", "en", "jag", "hon", "som", "han", "på", "den",
+    "med", "var", "sig", "för", "så", "till", "är", "men", "ett", "om",
+    "hade", "de", "av", "icke", "mig", "du", "henne", "då", "sin", "nu",
+    "har", "inte", "hans", "honom", "skulle", "hennes", "där", "min", "man")
+
+  /** High-frequency subset of the snowball Norwegian stop list the reference
+    * ships as `norwegian_stop.txt` (covers both Bokmål and Nynorsk forms,
+    * like the reference's single shared list). */
+  val NorwegianStopWords: Set[String] = Set(
+    "og", "i", "jeg", "det", "at", "en", "et", "den", "til", "er", "som",
+    "på", "de", "med", "han", "av", "ikke", "ikkje", "der", "så", "var",
+    "meg", "seg", "men", "ett", "har", "om", "vi", "min", "mitt", "ha",
+    "hadde", "hun", "nå", "over", "da", "ved", "fra", "du", "ut", "sin",
+    "dem", "oss", "opp", "man")
+
+  /** High-frequency subset of the snowball Russian stop list the reference
+    * ships as `russian_stop.txt`. */
+  val RussianStopWords: Set[String] = Set(
+    "и", "в", "во", "не", "что", "он", "на", "я", "с", "со", "как", "а",
+    "то", "все", "она", "так", "его", "но", "да", "ты", "к", "у", "же",
+    "вы", "за", "бы", "по", "только", "ее", "мне", "было", "вот", "от",
+    "меня", "еще", "нет", "о", "из", "ему")
+
+  /** High-frequency subset of the snowball Finnish stop list the reference
+    * ships as `finnish_stop.txt`. */
+  val FinnishStopWords: Set[String] = Set(
+    "olla", "olen", "olet", "on", "olemme", "olette", "ovat", "ole", "oli",
+    "en", "et", "ei", "emme", "ette", "eivät", "minä", "sinä", "hän", "me",
+    "te", "he", "tämä", "tuo", "se", "nämä", "nuo", "ne", "kuka", "mikä",
+    "joka", "ja", "kun", "niin", "mitä", "että")
+
+  /** High-frequency subset of the reference's Hungarian stop list
+    * (`hungarian_stop.txt`). */
+  val HungarianStopWords: Set[String] = Set(
+    "a", "az", "egy", "és", "is", "de", "hogy", "nem", "ez", "azt", "van",
+    "volt", "mint", "meg", "ha", "csak", "már", "el", "fel", "le", "ki",
+    "be", "még", "vagy", "igen", "mert", "ezt", "abban", "akkor", "amely",
+    "ami", "át", "így", "majd", "most")
+
   /** The reference CJKAnalyzer's default stop set — common English words
     * plus "www" (`lucene/analysis/common/src/resources/org/apache/lucene/analysis/cjk/stopwords.txt`;
     * the file's double-byte interpunctions never reach the stop filter here
@@ -105,6 +147,12 @@ object Analyzers {
     case "cjk"            => CjkAnalyzer()
     case "italian"        => ItalianAnalyzer()
     case "portuguese"     => PortugueseAnalyzer()
+    case "swedish"        => SwedishAnalyzer()
+    case "norwegian"      => NorwegianAnalyzer()
+    case "norwegian-nynorsk" => NorwegianAnalyzer(nynorsk = true)
+    case "russian"        => RussianAnalyzer()
+    case "finnish"        => FinnishAnalyzer()
+    case "hungarian"      => HungarianAnalyzer()
     case "folding"        => AsciiFoldingAnalyzer()
     case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
       ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)
