@@ -720,6 +720,19 @@ object SparkEntry {
       topk(new Searcher(Indexes.norwegianIndex(s, dir), ScoringMode.PreciseBM25())
         .scored(TermQuery("dat")), 10)
     }),
+    "q94_rrf_fusion" -> ((s, dir) => {
+      // Hybrid retrieval: BM25 top-20 for 'spark' fused with exact-cosine
+      // top-20 around vec_id 0 by reciprocal-rank fusion (TopDocs.rrf,
+      // k = 60); the corpus shares one id space (vec_id == doc_id)
+      val lexical = Indexes.searcher(s, dir).search(TermQuery("spark"), 20)
+        .select(col("docId"), col("score"))
+      val vector = graft.pipeline.Ann.bruteForceTopK(
+          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+          queryId = 0L, k = 20)
+        .select(col("vec_id").as("docId"), col("cos").as("score"))
+      Fusion.rrf(10, 60, Seq(lexical, vector))
+        .select(col("docId").as("doc_id"), round(col("rrf_score"), 6).as("rrf_score"))
+    }),
     "q91_explain" -> ((s, dir) => {
       // IndexSearcher.explain analog: per-clause score breakdown for the
       // first doc matching 'spark AND data' — leaf rows plus a total row
@@ -1916,6 +1929,32 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("dat")}) scored
          |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Reciprocal-rank fusion of the BM25 top-20 and the exact-cosine top-20:
+    // each list contributes 1/(60 + rank); fused order by summed score with
+    // doc-id tiebreak (TopDocs.rrf semantics)
+    "q94_rrf_fusion" ->
+      s"""$CTE, lex0 AS (
+         |  SELECT doc_id, score FROM (${termScoreSql("spark")}) s
+         |  ORDER BY score DESC, doc_id LIMIT 20
+         |), lex AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM lex0
+         |), vec0 AS (
+         |  SELECT vec_id AS doc_id,
+         |         list_cosine_similarity(embedding::DOUBLE[],
+         |           (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS cos
+         |  FROM embeddings WHERE vec_id <> 0
+         |  ORDER BY cos DESC, vec_id LIMIT 20
+         |), vec AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank FROM vec0
+         |), contrib AS (
+         |  SELECT doc_id, 1.0::DOUBLE / (60 + rank) AS c FROM lex
+         |  UNION ALL
+         |  SELECT doc_id, 1.0::DOUBLE / (60 + rank) AS c FROM vec
+         |)
+         |SELECT doc_id, round(sum(c), 6) AS rrf_score
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY sum(c) DESC, doc_id LIMIT 10""".stripMargin,
 
     // addIndexes: the combined index IS the full corpus — plain BM25 oracle
     "q87_add_indexes" -> topkSql(termScoreSql("merge"), 10),
