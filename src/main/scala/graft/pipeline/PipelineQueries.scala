@@ -91,6 +91,16 @@ object PipelineQueries {
           k = 10, nlist = 8, nprobe = 8)
         .select(col("id").as("vec_id"), round(col("cos"), 6).as("cos"))
     }),
+    "q95_quantized_ann" -> ((s, dir) => {
+      // int7 scalar quantization at confidence 1.0 (exact global min/max —
+      // the SQL-replayable interval): quantized cosine top-k scored as
+      // dot·α² + corrective offsets, the reference's DotProduct scorer; the
+      // c<1 sampled-quantile fit and the rescore path are QuantizationSpec's
+      val nv = Quantization.normalized(embeddings(s, dir), "vec_id", "embedding")
+      val sq = Quantization.fit(nv, bits = 7, confidence = 1.0)
+      Quantization.quantizedTopK(Quantization.quantizeAll(nv, sq), sq, queryId = 0L, k = 10)
+        .select(col("id").as("vec_id"), round(col("qscore"), 6).as("qscore"))
+    }),
     "q22_lang_id" -> ((s, dir) => {
       TextAnalysis.languageId(documentsExpr(s, dir), "text")
         .groupBy(col("predicted_lang")).agg(count(lit(1)).as("cnt"))
@@ -245,6 +255,48 @@ object PipelineQueries {
         |ORDER BY list_cosine_similarity(embedding::DOUBLE[],
         |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 10""".stripMargin,
+
+    // int7 scalar quantization replayed exactly: unit-normalize, global
+    // min/max interval, byte = floor(scale·(x − lo) + 0.5), per-vector
+    // corrective offset Σ lo·(x − lo/2) + (dx − dxq)·dxq, score
+    // max((1 + dot·α² + offQ + offD)/2, 0)
+    "q95_quantized_ann" ->
+      """WITH nv AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding::DOUBLE[],
+        |           x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS v
+        |  FROM embeddings
+        |), el AS (
+        |  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM nv
+        |), params AS (
+        |  SELECT min(x) AS lo, max(x) AS hi,
+        |         127.0 / (max(x) - min(x)) AS scale,
+        |         (max(x) - min(x)) / 127.0 AS alpha
+        |  FROM el
+        |), q AS (
+        |  SELECT vec_id, i, x,
+        |         floor((SELECT scale FROM params)
+        |           * (least(greatest(x, (SELECT lo FROM params)), (SELECT hi FROM params))
+        |              - (SELECT lo FROM params)) + 0.5) AS b
+        |  FROM el
+        |), voff AS (
+        |  SELECT vec_id,
+        |         sum((SELECT lo FROM params) * (x - (SELECT lo FROM params) / 2.0)
+        |             + ((x - (SELECT lo FROM params)) - b * (SELECT alpha FROM params))
+        |               * (b * (SELECT alpha FROM params))) AS o
+        |  FROM q GROUP BY vec_id
+        |), dp AS (
+        |  SELECT d.vec_id, sum(d.b * qq.b) AS dot
+        |  FROM q d JOIN q qq ON d.i = qq.i AND qq.vec_id = 0
+        |  WHERE d.vec_id <> 0 GROUP BY d.vec_id
+        |), scored AS (
+        |  SELECT dp.vec_id,
+        |         greatest((1 + dp.dot * (SELECT alpha * alpha FROM params)
+        |           + (SELECT o FROM voff WHERE vec_id = 0) + od.o) / 2.0, 0) AS qscore
+        |  FROM dp JOIN voff od ON dp.vec_id = od.vec_id
+        |)
+        |SELECT vec_id, round(qscore, 6) AS qscore FROM scored
+        |ORDER BY qscore DESC, vec_id LIMIT 10""".stripMargin,
 
     "q21_embed_neardup" ->
       """SELECT x.vec_id AS a, y.vec_id AS b,
