@@ -587,6 +587,18 @@ object SparkEntry {
         Intervals.MaxWidth(4, Intervals.Ordered(Seq(
           Intervals.Term("group"), Intervals.Term("key")))))))
     }),
+    "q96_intervals_not_containing" -> ((s, dir) => {
+      // negative interval filter: an in-order group..key span of ≤ 6 tokens
+      // that does NOT contain 'the' — the subtrahend's terms are gathered
+      // but never required, so 'the'-free docs match too (EXISTS over
+      // minimal intervals ≡ EXISTS over all pairs, since any pair free of
+      // the subtrahend contains a minimal pair free of it)
+      docSet(Indexes.searcher(s, dir).scored(IntervalQuery(
+        Intervals.NotContaining(
+          Intervals.MaxWidth(6, Intervals.Ordered(Seq(
+            Intervals.Term("group"), Intervals.Term("key")))),
+          Intervals.Term("the")))))
+    }),
     "q57_to_child_join" -> ((s, dir) => {
       // ToChildBlockJoinQuery analog: children of parents matching the
       // parent-side query (closes the r1 "untested" row for this operator)
@@ -1574,6 +1586,21 @@ object SparkEntry {
          |JOIN toks b ON b.doc_id = a.doc_id AND b.term = 'key'
          |  AND a.pos < b.pos AND b.pos - a.pos + 1 <= 4
          |WHERE a.term = 'group'
+         |ORDER BY a.doc_id""".stripMargin,
+
+    // notContaining over minimal intervals ≡ EXISTS a pair free of the
+    // subtrahend (any subtrahend-free pair contains a subtrahend-free
+    // minimal pair)
+    "q96_intervals_not_containing" ->
+      s"""$CTE
+         |SELECT DISTINCT a.doc_id FROM toks a
+         |JOIN toks b ON b.doc_id = a.doc_id AND b.term = 'key'
+         |  AND a.pos < b.pos AND b.pos - a.pos + 1 <= 6
+         |WHERE a.term = 'group'
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM toks c
+         |    WHERE c.doc_id = a.doc_id AND c.term = 'the'
+         |      AND c.pos >= a.pos AND c.pos <= b.pos)
          |ORDER BY a.doc_id""".stripMargin,
 
     "q57_to_child_join" ->

@@ -55,6 +55,51 @@ object Intervals {
   final case class ContainedBy(small: IntervalsSource, big: IntervalsSource) extends IntervalsSource {
     def terms = small.terms ++ big.terms
   }
+  /** each interval widened `before`/`after` positions, start clamped at 0
+    * (`Intervals.extend`, `ExtendedIntervalsSource`) */
+  final case class Extend(s: IntervalsSource, before: Int, after: Int) extends IntervalsSource {
+    def terms = s.terms
+  }
+  /** minuend intervals that contain NO subtrahend interval
+    * (`Intervals.notContaining`) */
+  final case class NotContaining(minuend: IntervalsSource, subtrahend: IntervalsSource) extends IntervalsSource {
+    def terms = minuend.terms ++ subtrahend.terms
+  }
+  /** small intervals contained in NO big interval (`Intervals.notContainedBy`) */
+  final case class NotContainedBy(small: IntervalsSource, big: IntervalsSource) extends IntervalsSource {
+    def terms = small.terms ++ big.terms
+  }
+  /** source intervals overlapping ≥ 1 reference interval (`Intervals.overlapping`) */
+  final case class Overlapping(source: IntervalsSource, reference: IntervalsSource) extends IntervalsSource {
+    def terms = source.terms ++ reference.terms
+  }
+  /** minuend intervals overlapping NO subtrahend interval
+    * (`Intervals.nonOverlapping`) */
+  final case class NonOverlapping(minuend: IntervalsSource, subtrahend: IntervalsSource) extends IntervalsSource {
+    def terms = minuend.terms ++ subtrahend.terms
+  }
+  /** source intervals that end before some reference interval starts —
+    * the reference's `before` = containedBy(source, extend(offset(ref,
+    * start), MAX, 0)); evaluated directly to avoid the offset machinery */
+  final case class Before(source: IntervalsSource, reference: IntervalsSource) extends IntervalsSource {
+    def terms = source.terms ++ reference.terms
+  }
+  /** source intervals that start after some reference interval ends
+    * (`Intervals.after`) */
+  final case class After(source: IntervalsSource, reference: IntervalsSource) extends IntervalsSource {
+    def terms = source.terms ++ reference.terms
+  }
+
+  /** `Intervals.within`: source intervals within `positions` of a reference
+    * interval — the reference's exact lowering to containedBy + extend. */
+  def within(source: IntervalsSource, positions: Int, reference: IntervalsSource): IntervalsSource =
+    ContainedBy(source, Extend(reference, positions, positions))
+
+  /** `Intervals.notWithin`: minuend intervals at least `positions` away from
+    * every subtrahend interval — the reference's lowering to nonOverlapping
+    * + extend. */
+  def notWithin(minuend: IntervalsSource, positions: Int, subtrahend: IntervalsSource): IntervalsSource =
+    NonOverlapping(minuend, Extend(subtrahend, positions, positions))
 }
 
 object IntervalEval extends Serializable {
@@ -168,6 +213,50 @@ object IntervalEval extends Serializable {
       val bigs = evalL(big, positions)
       evalL(small, positions).filter { case (sa, sb, _) =>
         bigs.exists { case (a, b, _) => a <= sa && sb <= b }
+      }
+
+    case Intervals.Extend(s, before, after) =>
+      // widening can create containment between formerly-minimal intervals —
+      // re-minimalize, like the reference wraps extended sources
+      minimalize(evalL(s, positions).map { case (a, b, k) =>
+        (math.max(0, a - before),
+          math.min(Int.MaxValue.toLong, b.toLong + after).toInt, k)
+      })
+
+    case Intervals.NotContaining(minuend, subtrahend) =>
+      val subs = evalL(subtrahend, positions)
+      evalL(minuend, positions).filter { case (a, b, _) =>
+        !subs.exists { case (sa, sb, _) => a <= sa && sb <= b }
+      }
+
+    case Intervals.NotContainedBy(small, big) =>
+      val bigs = evalL(big, positions)
+      evalL(small, positions).filter { case (sa, sb, _) =>
+        !bigs.exists { case (a, b, _) => a <= sa && sb <= b }
+      }
+
+    case Intervals.Overlapping(source, reference) =>
+      val refs = evalL(reference, positions)
+      evalL(source, positions).filter { case (a, b, _) =>
+        refs.exists { case (ra, rb, _) => a <= rb && ra <= b }
+      }
+
+    case Intervals.NonOverlapping(minuend, subtrahend) =>
+      val subs = evalL(subtrahend, positions)
+      evalL(minuend, positions).filter { case (a, b, _) =>
+        !subs.exists { case (sa, sb, _) => a <= sb && sa <= b }
+      }
+
+    case Intervals.Before(source, reference) =>
+      val refs = evalL(reference, positions)
+      evalL(source, positions).filter { case (_, b, _) =>
+        refs.exists { case (ra, _, _) => b < ra }
+      }
+
+    case Intervals.After(source, reference) =>
+      val refs = evalL(reference, positions)
+      evalL(source, positions).filter { case (a, _, _) =>
+        refs.exists { case (_, rb, _) => a > rb }
       }
   }
 

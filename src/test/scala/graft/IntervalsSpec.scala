@@ -78,6 +78,68 @@ class IntervalsSpec extends AnyFunSuite {
     }
   }
 
+  test("extend widens, clamps at 0, and re-minimalizes") {
+    val p = pos("a" -> Seq(1, 6))
+    assert(IntervalEval.eval(Extend(Term("a"), 3, 2), p) == Vector((0, 3), (3, 8)))
+    // saturating end extension
+    assert(IntervalEval.eval(Extend(Term("a"), 0, Int.MaxValue), p)
+      .forall(_._2 == Int.MaxValue))
+  }
+
+  test("filter combinators: notContaining / notContainedBy / overlapping / nonOverlapping / before / after") {
+    // doc: a(0) x(2) b(4)   a(6) b(8)   r(5)
+    val p = pos("a" -> Seq(0, 6), "b" -> Seq(4, 8), "x" -> Seq(2), "r" -> Seq(5))
+    val pairs = Ordered(Seq(Term("a"), Term("b"))) // minimal: (0,4), (6,8)
+    assert(IntervalEval.eval(NotContaining(pairs, Term("x")), p) == Vector((6, 8)))
+    assert(IntervalEval.eval(NotContainedBy(Term("x"), pairs), p).isEmpty)
+    assert(IntervalEval.eval(NotContainedBy(Term("r"), pairs), p) == Vector((5, 5)))
+    assert(IntervalEval.eval(Overlapping(pairs, Term("x")), p) == Vector((0, 4)))
+    assert(IntervalEval.eval(NonOverlapping(pairs, Term("r")), p) == Vector((0, 4), (6, 8)))
+    assert(IntervalEval.eval(Before(Term("a"), Term("r")), p) == Vector((0, 0)))
+    assert(IntervalEval.eval(After(Term("b"), Term("r")), p) == Vector((8, 8)))
+    // subtrahend absent from the doc: filters pass everything through
+    assert(IntervalEval.eval(NotContaining(pairs, Term("zzz")), p) == Vector((0, 4), (6, 8)))
+  }
+
+  test("within / notWithin lower to extend like the reference") {
+    // a(0) ... r(3): a is within 3 of r, not within 2
+    val p = pos("a" -> Seq(0), "r" -> Seq(3))
+    assert(IntervalEval.matches(within(Term("a"), 3, Term("r")), p))
+    assert(!IntervalEval.matches(within(Term("a"), 2, Term("r")), p))
+    assert(!IntervalEval.matches(notWithin(Term("a"), 3, Term("r")), p))
+    assert(IntervalEval.matches(notWithin(Term("a"), 2, Term("r")), p))
+  }
+
+  test("doc-match equivalence vs brute force: filter combinators on random positions") {
+    val rnd = new Random(41)
+    (0 until 2000).foreach { _ =>
+      val a = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(20)).distinct.sorted
+      val b = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(20)).distinct.sorted
+      val c = Seq.fill(rnd.nextInt(4))(rnd.nextInt(20)).distinct.sorted
+      val p = pos("a" -> a, "b" -> b, "c" -> c)
+      val pairs = Ordered(Seq(Term("a"), Term("b")))
+      // brute-force MINIMAL ordered pairs
+      val allPairs = for {
+        pa <- a; pb <- b if pa < pb
+      } yield (pa, pb)
+      val minimalPairs = allPairs.filterNot(x =>
+        allPairs.exists(y => y != x && x._1 <= y._1 && y._2 <= x._2))
+      def hasC(lo: Int, hi: Int) = c.exists(pc => lo <= pc && pc <= hi)
+      val wantNotContaining = minimalPairs.exists { case (lo, hi) => !hasC(lo, hi) }
+      assert(IntervalEval.matches(NotContaining(pairs, Term("c")), p) == wantNotContaining,
+        s"notContaining a=$a b=$b c=$c")
+      val wantOverlap = minimalPairs.exists { case (lo, hi) => hasC(lo, hi) }
+      assert(IntervalEval.matches(Overlapping(pairs, Term("c")), p) == wantOverlap,
+        s"overlapping(point) a=$a b=$b c=$c")
+      val wantBefore = a.exists(pa => c.exists(pc => pa < pc))
+      assert(IntervalEval.matches(Before(Term("a"), Term("c")), p) == wantBefore,
+        s"before a=$a c=$c")
+      val wantAfter = a.exists(pa => c.exists(pc => pa > pc))
+      assert(IntervalEval.matches(After(Term("a"), Term("c")), p) == wantAfter,
+        s"after a=$a c=$c")
+    }
+  }
+
   test("minimality: no returned interval properly contains another") {
     val rnd = new Random(23)
     (0 until 500).foreach { _ =>
