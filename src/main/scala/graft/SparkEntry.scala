@@ -249,6 +249,16 @@ object Indexes {
       IndexBuilder.build(docs, dir, IndexConfig(CjkAnalyzer(), withPositions = true))
     })
 
+  /** Doc-major term vectors over the shared documents index
+    * ([[graft.index.TermVectors]]): one postings transpose, cached. */
+  def termVectors(spark: SparkSession, sfDir: String): DataFrame =
+    tvecCache.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-tvec-").toString
+      graft.index.TermVectors.build(documentsIndex(spark, sfDir), dir)
+    })
+
+  private val tvecCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   private val sortedCache =
     scala.collection.concurrent.TrieMap.empty[String, (InvertedIndex, DataFrame)]
 
@@ -586,6 +596,14 @@ object SparkEntry {
       docSet(Indexes.searcher(s, dir).scored(IntervalQuery(
         Intervals.MaxWidth(4, Intervals.Ordered(Seq(
           Intervals.Term("group"), Intervals.Term("key")))))))
+    }),
+    "q97_term_vectors" -> ((s, dir) => {
+      // doc-major term vector of doc 0 (TermVectors.get(doc) terms
+      // enumeration): transpose of the postings, doc-pruned read; positions
+      // parity with the analyzer is TermVectorsSpec's
+      graft.index.TermVectors.vector(Indexes.termVectors(s, dir), 0L)
+        .select(col("term"), col("freq"))
+        .orderBy("term")
     }),
     "q96_intervals_not_containing" -> ((s, dir) => {
       // negative interval filter: an in-order group..key span of ≤ 6 tokens
@@ -1587,6 +1605,12 @@ object SparkEntry {
          |  AND a.pos < b.pos AND b.pos - a.pos + 1 <= 4
          |WHERE a.term = 'group'
          |ORDER BY a.doc_id""".stripMargin,
+
+    // doc 0's term vector = its tokenized term frequencies
+    "q97_term_vectors" ->
+      s"""$CTE
+         |SELECT term, count(*)::INT AS freq FROM toks
+         |WHERE doc_id = 0 GROUP BY term ORDER BY term""".stripMargin,
 
     // notContaining over minimal intervals ≡ EXISTS a pair free of the
     // subtrahend (any subtrahend-free pair contains a subtrahend-free

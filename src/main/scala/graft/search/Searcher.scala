@@ -1773,6 +1773,23 @@ final class Searcher(
                    excludeDocId: Option[Long] = None): DataFrame = {
     val termFreqs = index.analyzer.tokenize(text)
       .groupBy(_.term).view.mapValues(_.size).toMap
+    moreLikeThisFromFreqs(termFreqs, maxQueryTerms, k, excludeDocId)
+  }
+
+  /** MoreLikeThis seeded from a STORED term vector instead of re-analyzed
+    * text — the reference's `MoreLikeThis.like(int docNum)` term-vector path
+    * (`lucene/queries/src/java/org/apache/lucene/queries/mlt/MoreLikeThis.java:755-770`):
+    * one doc-pruned vector read replaces the stored-text fetch + analysis.
+    * `tvec` is the table from [[graft.index.TermVectors.build]]. */
+  def moreLikeThisByDoc(tvec: DataFrame, docId: Long, maxQueryTerms: Int, k: Int): DataFrame = {
+    val termFreqs = graft.index.TermVectors.vector(tvec, docId)
+      .select("term", "freq").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    moreLikeThisFromFreqs(termFreqs, maxQueryTerms, k, excludeDocId = Some(docId))
+  }
+
+  private def moreLikeThisFromFreqs(termFreqs: Map[String, Int], maxQueryTerms: Int,
+                                    k: Int, excludeDocId: Option[Long]): DataFrame = {
     val stats = lookupStats(termFreqs.keySet)
     val ranked = termFreqs.toSeq
       .flatMap { case (t, f) => stats.get(t).map(s => (t, f * idfPrecise(s.docFreq))) }
