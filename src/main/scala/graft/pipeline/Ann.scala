@@ -37,6 +37,25 @@ object Ann {
       .limit(k)
   }
 
+  /** Filtered kNN — the reference's `KnnFloatVectorQuery(..., filter)`
+    * (`lucene/core/src/java/org/apache/lucene/search/KnnFloatVectorQuery.java:49`):
+    * top-k among the vectors whose rows satisfy `filter`. Relationally the
+    * filter is pushed INTO the scan (predicate pushdown to parquet), so the
+    * selective case scans only survivors — the pre-filter strategy the
+    * reference switches to when the filter is restrictive. */
+  def bruteForceTopKFiltered(embeddings: DataFrame, idCol: String, vecCol: String,
+                             filter: org.apache.spark.sql.Column,
+                             queryId: Long, k: Int): DataFrame = {
+    val qv = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Float](0)
+    val q = array(qv.map(v => lit(v)): _*)
+    embeddings.filter(col(idCol) =!= queryId)
+      .filter(filter)
+      .select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .orderBy(desc("cos"), col(idCol).asc)
+      .limit(k)
+  }
+
   /** All pairs with cosine ≥ `tau` (exact, all-pairs — the oracle/small path;
     * compose [[lshBuckets]] + within-bucket pairs for the sublinear path).
     *

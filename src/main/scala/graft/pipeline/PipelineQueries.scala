@@ -91,6 +91,13 @@ object PipelineQueries {
           k = 10, nlist = 8, nprobe = 8)
         .select(col("id").as("vec_id"), round(col("cos"), 6).as("cos"))
     }),
+    "q98_ann_filtered" -> ((s, dir) => {
+      // filtered kNN (KnnFloatVectorQuery with a filter): top-k among
+      // label=1 vectors only; the predicate pushes into the parquet scan
+      Ann.bruteForceTopKFiltered(embeddings(s, dir), "vec_id", "embedding",
+          col("label") === 1, queryId = 0L, k = 10)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
     "q95_quantized_ann" -> ((s, dir) => {
       // int7 scalar quantization at confidence 1.0 (exact global min/max —
       // the SQL-replayable interval): quantized cosine top-k scored as
@@ -252,6 +259,15 @@ object PipelineQueries {
         |       round(list_cosine_similarity(embedding::DOUBLE[],
         |         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cos
         |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+        |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q98_ann_filtered" ->
+      """SELECT vec_id,
+        |       round(list_cosine_similarity(embedding::DOUBLE[],
+        |         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings WHERE vec_id <> 0 AND label = 1
         |ORDER BY list_cosine_similarity(embedding::DOUBLE[],
         |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 10""".stripMargin,

@@ -90,6 +90,23 @@ object Intervals {
     def terms = source.terms ++ reference.terms
   }
 
+  /** intervals spanning ≥ `minShouldMatch` of the sub-sources
+    * (`Intervals.atLeast`, `MinimumShouldMatchIntervalsSource`); evaluated
+    * as the minimalized union over exactly-n subsets (any span of > n
+    * sources contains a span of n, so minimality is unchanged). The subset
+    * enumeration is C(m, n) — like the reference's queue sweep, intended for
+    * small clause counts. */
+  final case class AtLeast(minShouldMatch: Int, ss: Seq[IntervalsSource]) extends IntervalsSource {
+    def terms = ss.flatMap(_.terms).toSet
+  }
+
+  /** `Intervals.atLeast` factory with the reference's degenerate cases:
+    * n == m lowers to unordered, n > m matches nothing. */
+  def atLeast(minShouldMatch: Int, ss: IntervalsSource*): IntervalsSource =
+    if (minShouldMatch == ss.size) Unordered(ss)
+    else if (minShouldMatch > ss.size) Or(Nil) // no-match source
+    else AtLeast(minShouldMatch, ss)
+
   /** `Intervals.within`: source intervals within `positions` of a reference
     * interval — the reference's exact lowering to containedBy + extend. */
   def within(source: IntervalsSource, positions: Int, reference: IntervalsSource): IntervalsSource =
@@ -258,6 +275,13 @@ object IntervalEval extends Serializable {
       evalL(source, positions).filter { case (a, _, _) =>
         refs.exists { case (_, rb, _) => a > rb }
       }
+
+    case Intervals.AtLeast(n, ss) =>
+      if (n <= 0) minimalize(ss.flatMap(s => evalL(s, positions)))
+      else minimalize(ss.combinations(n).flatMap { subset =>
+        // Unordered already yields nothing when any subset member is absent
+        evalL(Intervals.Unordered(subset), positions)
+      }.toSeq)
   }
 
   /** Minimal matching intervals of `src` in a doc given its per-term sorted

@@ -140,6 +140,33 @@ class IntervalsSpec extends AnyFunSuite {
     }
   }
 
+  test("atLeast: minimum-should-match over interval sources") {
+    // a(0) b(2) — c absent: 2-of-3 matches via {a,b}, 3-of-3 does not
+    val p = pos("a" -> Seq(0), "b" -> Seq(2), "c" -> Seq())
+    assert(IntervalEval.eval(atLeast(2, Term("a"), Term("b"), Term("c")), p) == Vector((0, 2)))
+    assert(!IntervalEval.matches(atLeast(3, Term("a"), Term("b"), Term("c")), p))
+    // n > m matches nothing; n == m lowers to unordered
+    assert(!IntervalEval.matches(atLeast(4, Term("a"), Term("b"), Term("c")), p))
+    val p2 = pos("a" -> Seq(0), "b" -> Seq(2), "c" -> Seq(5))
+    assert(IntervalEval.eval(atLeast(3, Term("a"), Term("b"), Term("c")), p2) == Vector((0, 5)))
+    // minimality across subsets: tight {b,c} span hides the wider {a,b,c}
+    assert(IntervalEval.eval(atLeast(2, Term("a"), Term("b"), Term("c")), p2) == Vector((0, 2), (2, 5)))
+  }
+
+  test("atLeast doc-match equivalence vs brute force") {
+    val rnd = new Random(59)
+    (0 until 1000).foreach { _ =>
+      val lists = Seq("a", "b", "c", "d").map(t =>
+        t -> Seq.fill(rnd.nextInt(3))(rnd.nextInt(15)).distinct.sorted)
+      val p = pos(lists: _*)
+      val n = 2 + rnd.nextInt(2)
+      val got = IntervalEval.matches(
+        atLeast(n, Seq("a", "b", "c", "d").map(Term.apply): _*), p)
+      val want = lists.count(_._2.nonEmpty) >= n
+      assert(got == want, s"n=$n lists=$lists")
+    }
+  }
+
   test("minimality: no returned interval properly contains another") {
     val rnd = new Random(23)
     (0 until 500).foreach { _ =>
