@@ -597,6 +597,28 @@ object SparkEntry {
         Intervals.MaxWidth(4, Intervals.Ordered(Seq(
           Intervals.Term("group"), Intervals.Term("key")))))))
     }),
+    "q99_geo_box" -> ((s, dir) => {
+      // LatLonPoint.newBoxQuery over the reference's 32-bit quantized
+      // encoding, dateline-crossing box (minLon 150 > maxLon -160) split
+      // into two open longitude ranges; coordinates derived
+      // deterministically from event ids (the corpus has no geo columns)
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          (col("event_id") * 7919 % 18000) / 100.0 - 90.0 as "lat",
+          (col("event_id") * 104729 % 36000) / 100.0 - 180.0 as "lon")
+      pts.filter(Geo.boxFilter(col("lat"), col("lon"), 10.0, 45.0, 150.0, -160.0))
+        .select("event_id").orderBy("event_id")
+    }),
+    "q100_geo_distance" -> ((s, dir) => {
+      // LatLonPoint.newDistanceQuery: quantized bbox prune (pushed to the
+      // scan) + exact-trig haversine verify, 1,500 km around (40, -74)
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          (col("event_id") * 7919 % 18000) / 100.0 - 90.0 as "lat",
+          (col("event_id") * 104729 % 36000) / 100.0 - 180.0 as "lon")
+      pts.filter(Geo.distanceFilter(col("lat"), col("lon"), 40.0, -74.0, 1500000.0))
+        .select("event_id").orderBy("event_id")
+    }),
     "q97_term_vectors" -> ((s, dir) => {
       // doc-major term vector of doc 0 (TermVectors.get(doc) terms
       // enumeration): transpose of the postings, doc-pruned read; positions
@@ -1605,6 +1627,47 @@ object SparkEntry {
          |  AND a.pos < b.pos AND b.pos - a.pos + 1 <= 4
          |WHERE a.term = 'group'
          |ORDER BY a.doc_id""".stripMargin,
+
+    // the reference's 32-bit geo quantization replayed: enc = floor(x /
+    // (1/(2^32/span))), box = encodeCeil(min) <= enc <= encode(max), with
+    // the dateline split as two open ranges
+    "q99_geo_box" ->
+      """WITH pts AS (
+        |  SELECT event_id,
+        |         ((event_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+        |         ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events
+        |), c AS (
+        |  SELECT 1.0/(4294967296.0/180.0) AS latd, 1.0/(4294967296.0/360.0) AS lond
+        |)
+        |SELECT event_id FROM pts, c
+        |WHERE floor(lat/latd) BETWEEN ceil(10.0/latd) AND floor(45.0/latd)
+        |  AND (floor(lon/lond) <= floor(-160.0/lond) OR floor(lon/lond) >= ceil(150.0/lond))
+        |ORDER BY event_id""".stripMargin,
+
+    // haversine over DECODED (quantized) coordinates with the reference's
+    // mean radius; the engine's bbox prune is a strict superset so the
+    // verify predicate alone defines the result set
+    "q100_geo_distance" ->
+      """WITH pts AS (
+        |  SELECT event_id,
+        |         ((event_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+        |         ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events
+        |), c AS (
+        |  SELECT 1.0/(4294967296.0/180.0) AS latd, 1.0/(4294967296.0/360.0) AS lond,
+        |         6371008.7714 AS r
+        |), q AS (
+        |  SELECT floor(40.0/latd)*latd AS qlat2, floor(-74.0/lond)*lond AS qlon2, latd, lond, r
+        |  FROM c
+        |)
+        |SELECT event_id FROM pts, q
+        |WHERE 2*r*asin(least(1.0, sqrt(
+        |        pow(sin(radians(qlat2 - floor(lat/latd)*latd)/2), 2)
+        |        + cos(radians(floor(lat/latd)*latd)) * cos(radians(qlat2))
+        |          * pow(sin(radians(qlon2 - floor(lon/lond)*lond)/2), 2)
+        |      ))) <= 1500000.0
+        |ORDER BY event_id""".stripMargin,
 
     // doc 0's term vector = its tokenized term frequencies
     "q97_term_vectors" ->

@@ -27,6 +27,11 @@ def norm(df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # resume state (set when re-exec'd after a process-level DuckDB failure):
+    # [startName, nPass, nFail]
+    start_name = sys.argv[3] if len(sys.argv) > 3 else ""
+    n_pass = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    n_fail = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     con = duckdb.connect()
     # explicit limit: DuckDB sizes its default off memory AVAILABLE AT START,
     # which is transiently tiny right after the Spark JVM exits — the cause of
@@ -34,25 +39,32 @@ def main():
     con.execute("SET memory_limit='8GB'")
     load_tables(con, sf_dir)
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    n_pass = n_fail = 0
+    first = True
     for name, sql in sorted(oracles.items()):
+        if start_name and name < start_name:
+            continue
         spark_dir = os.path.join(out_dir, name)
         if not os.path.isdir(spark_dir):
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output"); n_fail += 1; first = False; continue
         try:
             got = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(spark_dir + "/*.parquet"))])
             try:
                 want = con.execute(sql).fetchdf()
-            except Exception:
-                # DuckDB sporadically reports OOM late in a long connection
-                # even at tiny allocations — retry once on a fresh connection
-                con.close()
-                con = duckdb.connect()
-                con.execute("SET memory_limit='8GB'")
-                load_tables(con, sf_dir)
-                want = con.execute(sql).fetchdf()
+            except Exception as inner:
+                # DuckDB sporadically reports OOM late in a long run even at
+                # tiny allocations with plenty free — and the broken state is
+                # PROCESS-level (a fresh in-process connection fails too).
+                # Re-exec from this oracle in a clean process, carrying the
+                # counts; if this oracle already starts a fresh process
+                # (first), the failure is real — fall through and record it.
+                if not (start_name == name and first):
+                    sys.stdout.flush()
+                    os.execv(sys.executable, [sys.executable, os.path.abspath(__file__),
+                                              sf_dir, out_dir, name, str(n_pass), str(n_fail)])
+                raise inner
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: {e}"); n_fail += 1; first = False; continue
+        first = False
         g, w = norm(got), norm(want)
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}"); n_fail += 1; continue
