@@ -619,6 +619,20 @@ object SparkEntry {
       pts.filter(Geo.distanceFilter(col("lat"), col("lon"), 40.0, -74.0, 1500000.0))
         .select("event_id").orderBy("event_id")
     }),
+    "q101_geo_nearest" -> ((s, dir) => {
+      // LatLonPointSortField analog: nearest-10 events by haversine over
+      // quantized coordinates, distance as the sort value (TakeOrdered —
+      // no shuffle beyond the top-k)
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          (col("event_id") * 7919 % 18000) / 100.0 - 90.0 as "lat",
+          (col("event_id") * 104729 % 36000) / 100.0 - 180.0 as "lon")
+      pts.select(col("event_id"),
+          Geo.haversineMeters(col("lat"), col("lon"), 40.0, -74.0).as("dist"))
+        .orderBy(asc("dist"), asc("event_id"))
+        .limit(10)
+        .select(col("event_id"), round(col("dist"), 2).as("dist_m"))
+    }),
     "q97_term_vectors" -> ((s, dir) => {
       // doc-major term vector of doc 0 (TermVectors.get(doc) terms
       // enumeration): transpose of the postings, doc-pruned read; positions
@@ -1668,6 +1682,31 @@ object SparkEntry {
         |          * pow(sin(radians(qlon2 - floor(lon/lond)*lond)/2), 2)
         |      ))) <= 1500000.0
         |ORDER BY event_id""".stripMargin,
+
+    // nearest-10 by the same haversine-over-quantized-coordinates expression
+    "q101_geo_nearest" ->
+      """WITH pts AS (
+        |  SELECT event_id,
+        |         ((event_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+        |         ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events
+        |), c AS (
+        |  SELECT 1.0/(4294967296.0/180.0) AS latd, 1.0/(4294967296.0/360.0) AS lond,
+        |         6371008.7714 AS r
+        |), q AS (
+        |  SELECT floor(40.0/latd)*latd AS qlat2, floor(-74.0/lond)*lond AS qlon2, latd, lond, r
+        |  FROM c
+        |), d AS (
+        |  SELECT event_id,
+        |         2*r*asin(least(1.0, sqrt(
+        |           pow(sin(radians(qlat2 - floor(lat/latd)*latd)/2), 2)
+        |           + cos(radians(floor(lat/latd)*latd)) * cos(radians(qlat2))
+        |             * pow(sin(radians(qlon2 - floor(lon/lond)*lond)/2), 2)
+        |         ))) AS dist
+        |  FROM pts, q
+        |)
+        |SELECT event_id, round(dist, 2) AS dist_m FROM d
+        |ORDER BY dist, event_id LIMIT 10""".stripMargin,
 
     // doc 0's term vector = its tokenized term frequencies
     "q97_term_vectors" ->
