@@ -619,6 +619,18 @@ object SparkEntry {
       pts.filter(Geo.distanceFilter(col("lat"), col("lon"), 40.0, -74.0, 1500000.0))
         .select("event_id").orderBy("event_id")
     }),
+    "q102_distance_feature" -> ((s, dir) => {
+      // LongField.newDistanceFeatureQuery: recency/proximity boost
+      // weight·pivot/(pivot+|v−origin|) over the click slice — top-10
+      // closest event ids to origin 500 at pivot 100, weight 3
+      s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_type") === "click")
+        .select(col("event_id"),
+          Geo.longDistanceFeature(col("event_id"), 3.0, 500L, 100L).as("score"))
+        .orderBy(desc("score"), asc("event_id"))
+        .limit(10)
+        .select(col("event_id"), round(col("score"), 6).as("score"))
+    }),
     "q101_geo_nearest" -> ((s, dir) => {
       // LatLonPointSortField analog: nearest-10 events by haversine over
       // quantized coordinates, distance as the sort value (TakeOrdered —
@@ -1682,6 +1694,14 @@ object SparkEntry {
         |          * pow(sin(radians(qlon2 - floor(lon/lond)*lond)/2), 2)
         |      ))) <= 1500000.0
         |ORDER BY event_id""".stripMargin,
+
+    // weight·pivot/(pivot+distance) recency boost, exact double replay
+    "q102_distance_feature" ->
+      """SELECT event_id,
+        |       round(3.0 * (100.0 / (100.0 + abs(event_id - 500)::DOUBLE)), 6) AS score
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY 3.0 * (100.0 / (100.0 + abs(event_id - 500)::DOUBLE)) DESC, event_id
+        |LIMIT 10""".stripMargin,
 
     // nearest-10 by the same haversine-over-quantized-coordinates expression
     "q101_geo_nearest" ->

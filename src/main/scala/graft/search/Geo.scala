@@ -100,6 +100,26 @@ object Geo {
     lit(2 * ToMeters) * asin(least(lit(1.0), sqrt(h)))
   }
 
+  /** `LongField.newDistanceFeatureQuery`
+    * (`lucene/core/src/java/org/apache/lucene/document/LongDistanceFeatureQuery.java:265-267`):
+    * score = weight · pivot / (pivot + |value − origin|) — the recency /
+    * proximity boost, in [0, weight], exactly weight/2 at the pivot. */
+  def longDistanceFeature(valueCol: Column, weight: Double,
+                          origin: Long, pivotDistance: Long): Column = {
+    require(pivotDistance > 0, s"pivotDistance must be > 0, got $pivotDistance")
+    lit(weight) * (lit(pivotDistance.toDouble) /
+      (lit(pivotDistance.toDouble) + abs(valueCol - lit(origin)).cast("double")))
+  }
+
+  /** `LatLonPoint.newDistanceFeatureQuery`: the same boost over haversine
+    * meters from an origin point. */
+  def geoDistanceFeature(latCol: Column, lonCol: Column, weight: Double,
+                         lat: Double, lon: Double, pivotMeters: Double): Column = {
+    require(pivotMeters > 0)
+    lit(weight) * (lit(pivotMeters) /
+      (lit(pivotMeters) + haversineMeters(latCol, lonCol, lat, lon)))
+  }
+
   /** `LatLonPoint.newDistanceQuery`: a quantized bounding-box prune (pushed
     * to the scan) followed by the exact haversine verify — the reference's
     * two-phase distance plan. */

@@ -28,10 +28,11 @@ def norm(df):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     # resume state (set when re-exec'd after a process-level DuckDB failure):
-    # [startName, nPass, nFail]
+    # [startName, nPass, nFail, retriesOnStartName]
     start_name = sys.argv[3] if len(sys.argv) > 3 else ""
     n_pass = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     n_fail = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    retries = int(sys.argv[6]) if len(sys.argv) > 6 else 0
     con = duckdb.connect()
     # explicit limit: DuckDB sizes its default off memory AVAILABLE AT START,
     # which is transiently tiny right after the Spark JVM exits — the cause of
@@ -53,14 +54,19 @@ def main():
             except Exception as inner:
                 # DuckDB sporadically reports OOM late in a long run even at
                 # tiny allocations with plenty free — and the broken state is
-                # PROCESS-level (a fresh in-process connection fails too).
-                # Re-exec from this oracle in a clean process, carrying the
-                # counts; if this oracle already starts a fresh process
-                # (first), the failure is real — fall through and record it.
-                if not (start_name == name and first):
+                # PROCESS-level (a fresh in-process connection fails too) and
+                # briefly time-correlated. Re-exec from this oracle in a
+                # clean process (short backoff), carrying the counts; after 3
+                # fresh-process failures on the SAME oracle the failure is
+                # real — fall through and record it.
+                next_retries = retries + 1 if start_name == name else 1
+                if next_retries <= 3:
                     sys.stdout.flush()
+                    import time
+                    time.sleep(2 * next_retries)
                     os.execv(sys.executable, [sys.executable, os.path.abspath(__file__),
-                                              sf_dir, out_dir, name, str(n_pass), str(n_fail)])
+                                              sf_dir, out_dir, name, str(n_pass), str(n_fail),
+                                              str(next_retries)])
                 raise inner
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; first = False; continue
