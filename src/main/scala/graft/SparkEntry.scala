@@ -653,6 +653,15 @@ object SparkEntry {
         .select(col("term"), col("freq"))
         .orderBy("term")
     }),
+    "q103_intervals_prefix" -> ((s, dir) => {
+      // multiterm interval source: ordered(group, prefix("ke")) within
+      // width 4 — the prefix expands against the term dictionary into an
+      // Or of term sources (MultiTermIntervalsSource rewrite) before the
+      // minimal-interval evaluation
+      docSet(Indexes.searcher(s, dir).scored(IntervalQuery(
+        Intervals.MaxWidth(4, Intervals.Ordered(Seq(
+          Intervals.Term("group"), Intervals.Prefix("ke")))))))
+    }),
     "q96_intervals_not_containing" -> ((s, dir) => {
       // negative interval filter: an in-order group..key span of ≤ 6 tokens
       // that does NOT contain 'the' — the subtrahend's terms are gathered
@@ -1733,6 +1742,15 @@ object SparkEntry {
       s"""$CTE
          |SELECT term, count(*)::INT AS freq FROM toks
          |WHERE doc_id = 0 GROUP BY term ORDER BY term""".stripMargin,
+
+    // prefix-expanded ordered pair: any in-order (group, ke%) pair ≤ 4 wide
+    "q103_intervals_prefix" ->
+      s"""$CTE
+         |SELECT DISTINCT a.doc_id FROM toks a
+         |JOIN toks b ON b.doc_id = a.doc_id AND b.term LIKE 'ke%'
+         |  AND a.pos < b.pos AND b.pos - a.pos + 1 <= 4
+         |WHERE a.term = 'group'
+         |ORDER BY a.doc_id""".stripMargin,
 
     // notContaining over minimal intervals ≡ EXISTS a pair free of the
     // subtrahend (any subtrahend-free pair contains a subtrahend-free

@@ -100,6 +100,25 @@ object Intervals {
     def terms = ss.flatMap(_.terms).toSet
   }
 
+  /** disjunction over all dictionary terms starting with `prefix`
+    * (`Intervals.prefix`, `MultiTermIntervalsSource`); MUST be expanded
+    * against the term dictionary before evaluation — the searcher rewrites
+    * it to [[Or]] of [[Term]]s and throws IllegalStateException past
+    * `maxExpansions`, like the reference. */
+  final case class Prefix(prefix: String, maxExpansions: Int = DefaultMaxExpansions)
+      extends IntervalsSource {
+    def terms = Set.empty // resolved at expansion time, not statically known
+  }
+  /** disjunction over all terms matching a `*`/`?` glob
+    * (`Intervals.wildcard`); expansion contract like [[Prefix]]. */
+  final case class Wildcard(pattern: String, maxExpansions: Int = DefaultMaxExpansions)
+      extends IntervalsSource {
+    def terms = Set.empty // resolved at expansion time, not statically known
+  }
+
+  /** `Intervals.DEFAULT_MAX_EXPANSIONS` (`Intervals.java:64`). */
+  val DefaultMaxExpansions = 128
+
   /** `Intervals.atLeast` factory with the reference's degenerate cases:
     * n == m lowers to unordered, n > m matches nothing. */
   def atLeast(minShouldMatch: Int, ss: IntervalsSource*): IntervalsSource =
@@ -282,6 +301,10 @@ object IntervalEval extends Serializable {
         // Unordered already yields nothing when any subset member is absent
         evalL(Intervals.Unordered(subset), positions)
       }.toSeq)
+
+    case m @ (_: Intervals.Prefix | _: Intervals.Wildcard) =>
+      throw new IllegalStateException(
+        s"multiterm interval source $m must be expanded against the term dictionary before evaluation")
   }
 
   /** Minimal matching intervals of `src` in a doc given its per-term sorted

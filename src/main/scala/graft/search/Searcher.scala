@@ -943,8 +943,66 @@ final class Searcher(
     * ([[IntervalEval]]); constant-scored doc set like the span paths. No
     * doc-level conjunction pre-filter — an `Or` source can match with terms
     * absent — the evaluator itself rejects docs missing required terms. */
-  private def intervalFrame(src: IntervalsSource, stats: Map[String, TermStats],
+  /** Expand multiterm interval sources (prefix/wildcard) against the term
+    * dictionary — the reference's `MultiTermIntervalsSource` rewrite: the
+    * matching terms in term order become an [[Intervals.Or]] of term
+    * sources, throwing IllegalStateException past `maxExpansions`
+    * (`queries/.../intervals/MultiTermIntervalsSource.java:52-66`).
+    * Dictionary-first: one pushed/predicate scan of `termStats` per
+    * multiterm node, never a postings scan. */
+  private def expandIntervalSource(src: IntervalsSource): IntervalsSource = {
+    def expand(label: String, max: Int, pred: org.apache.spark.sql.Column): IntervalsSource = {
+      val matched = index.termStats.filter(pred)
+        .select("term").orderBy("term").limit(max + 1)
+        .collect().map(_.getString(0)).toSeq
+      if (matched.size > max)
+        throw new IllegalStateException(
+          s"Expansion of $label matched more than $max terms")
+      Intervals.Or(matched.map(Intervals.Term.apply))
+    }
+    src match {
+      case Intervals.Prefix(p, max) =>
+        expand(s"$p*", max, col("term").startsWith(p))
+      case Intervals.Wildcard(glob, max) =>
+        val rx = "^" + glob.flatMap {
+          case '*' => ".*"
+          case '?' => "."
+          case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+          case c => c.toString
+        } + "$"
+        expand(glob, max, col("term").rlike(rx))
+      case Intervals.Ordered(ss) => Intervals.Ordered(ss.map(expandIntervalSource))
+      case Intervals.Unordered(ss) => Intervals.Unordered(ss.map(expandIntervalSource))
+      case Intervals.Or(ss) => Intervals.Or(ss.map(expandIntervalSource))
+      case Intervals.AtLeast(n, ss) => Intervals.AtLeast(n, ss.map(expandIntervalSource))
+      case Intervals.MaxWidth(w, s) => Intervals.MaxWidth(w, expandIntervalSource(s))
+      case Intervals.MaxGaps(g, s) => Intervals.MaxGaps(g, expandIntervalSource(s))
+      case Intervals.Extend(s, b, a) => Intervals.Extend(expandIntervalSource(s), b, a)
+      case Intervals.Containing(b, s) =>
+        Intervals.Containing(expandIntervalSource(b), expandIntervalSource(s))
+      case Intervals.ContainedBy(s, b) =>
+        Intervals.ContainedBy(expandIntervalSource(s), expandIntervalSource(b))
+      case Intervals.NotContaining(m, s) =>
+        Intervals.NotContaining(expandIntervalSource(m), expandIntervalSource(s))
+      case Intervals.NotContainedBy(s, b) =>
+        Intervals.NotContainedBy(expandIntervalSource(s), expandIntervalSource(b))
+      case Intervals.Overlapping(s, r) =>
+        Intervals.Overlapping(expandIntervalSource(s), expandIntervalSource(r))
+      case Intervals.NonOverlapping(m, s) =>
+        Intervals.NonOverlapping(expandIntervalSource(m), expandIntervalSource(s))
+      case Intervals.Before(s, r) =>
+        Intervals.Before(expandIntervalSource(s), expandIntervalSource(r))
+      case Intervals.After(s, r) =>
+        Intervals.After(expandIntervalSource(s), expandIntervalSource(r))
+      case leaf => leaf
+    }
+  }
+
+  private def intervalFrame(src0: IntervalsSource, stats0: Map[String, TermStats],
                             boost: Double): DataFrame = {
+    val src = expandIntervalSource(src0)
+    // multiterm expansion can introduce terms the pre-gathered stats lack
+    val stats = stats0 ++ lookupStats(src.terms -- stats0.keySet)
     val present = src.terms.toSeq.filter(stats.contains)
     if (present.isEmpty) return emptyFrame
     val perTerm = present.map { t =>
@@ -958,11 +1016,11 @@ final class Searcher(
         .toDF("docId", "positions")
         .withColumn("t", lit(t))
     }
-    val src0 = src
+    val srcSer = src // stable serializable capture for the UDF closure
     val matchUdf = udf((plists: Seq[Row]) => {
       val posMap: Map[String, Array[Int]] =
         plists.map(r => r.getString(0) -> r.getSeq[Int](1).toArray).toMap
-      IntervalEval.matches(src0, posMap)
+      IntervalEval.matches(srcSer, posMap)
     })
     perTerm.reduce(_ unionAll _)
       .groupBy("docId")

@@ -132,6 +132,32 @@ class SearcherSpec extends AnyFunSuite {
     }
   }
 
+  test("multiterm interval sources expand against the dictionary before evaluation") {
+    // prefix expansion ≡ the explicit Or over the matching dictionary terms
+    val matching = index.termStats.filter(org.apache.spark.sql.functions.col("term")
+        .startsWith("s")).select("term").collect().map(_.getString(0)).toSeq
+    assert(matching.size > 1, "fixture vocabulary should have several s* terms")
+    val viaPrefix = searcher().scored(IntervalQuery(
+        Intervals.MaxWidth(6, Intervals.Ordered(Seq(
+          Intervals.Term("group"), Intervals.Prefix("s", maxExpansions = 100000))))))
+      .select("docId").collect().map(_.getLong(0)).toSet
+    val viaOr = searcher().scored(IntervalQuery(
+        Intervals.MaxWidth(6, Intervals.Ordered(Seq(
+          Intervals.Term("group"), Intervals.Or(matching.map(Intervals.Term.apply)))))))
+      .select("docId").collect().map(_.getLong(0)).toSet
+    assert(viaPrefix == viaOr && viaPrefix.nonEmpty)
+    // wildcard glob routes through the same rewrite
+    val viaGlob = searcher().scored(IntervalQuery(
+        Intervals.MaxWidth(6, Intervals.Ordered(Seq(
+          Intervals.Term("group"), Intervals.Wildcard("s*", maxExpansions = 100000))))))
+      .select("docId").collect().map(_.getLong(0)).toSet
+    assert(viaGlob == viaOr)
+    // over-expansion throws, like the reference
+    assertThrows[IllegalStateException] {
+      searcher().scored(IntervalQuery(Intervals.Prefix("s", maxExpansions = 1))).collect()
+    }
+  }
+
   test("metamorphic: pruned top-k == exhaustive top-k") {
     // force the pruned path with a tiny threshold
     val pruned = new Searcher(index, ScoringMode.PreciseBM25(), pruneThreshold = 1L)
