@@ -584,6 +584,16 @@ object SparkEntry {
     "q62_suggest" -> ((s, dir) => {
       Suggester.suggest(Indexes.documentsIndex(s, dir), "s", 8)
     }),
+    "q104_infix_suggest" -> ((s, dir) => {
+      // AnalyzingInfixSuggester contract: suggestion = the doc's first 8
+      // tokens, weight = n_chars; 'que' matches as a token prefix anywhere
+      // inside the suggestion, ranked by weight desc
+      val sugg = docsTable(s, dir).select(
+        array_join(slice(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => t =!= lit("")), 1, 8), " ").as("suggestion"),
+        col("n_chars"))
+      Suggester.infix(sugg, "suggestion", "n_chars", "que", 10)
+    }),
     "q61_highlight" -> ((s, dir) => {
       Highlighter.highlight(docsTable(s, dir).filter(col("doc_id") < 200),
           "doc_id", "text", Set("spark", "stream"), window = 5)
@@ -1626,6 +1636,21 @@ object SparkEntry {
          |SELECT term, count(DISTINCT doc_id) AS weight FROM toks
          |WHERE term LIKE 's%'
          |GROUP BY term ORDER BY weight DESC, term LIMIT 8""".stripMargin,
+
+    // infix lookup: 'que' is a token prefix anywhere inside the suggestion
+    "q104_infix_suggest" ->
+      """WITH sugg AS (
+        |  SELECT array_to_string(list_slice(list_filter(
+        |           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+        |           1, 8), ' ') AS suggestion,
+        |         n_chars
+        |  FROM documents
+        |)
+        |SELECT suggestion, n_chars::BIGINT AS weight FROM sugg
+        |WHERE len(list_filter(list_slice(list_filter(
+        |        regexp_split_to_array(lower(suggestion), '[^a-z0-9]+'), x -> x <> ''),
+        |        1, 8), x -> x LIKE 'que%')) > 0
+        |ORDER BY weight DESC, suggestion LIMIT 10""".stripMargin,
 
     // best fragment = the 5-token window starting at a matched term with the
     // most matched terms, ties earliest; matches wrapped <b></b>

@@ -39,4 +39,24 @@ object Suggester {
         col("df").cast("long").as("weight"))
       .orderBy(asc("dist"), desc("weight"), asc("term"))
       .limit(k)
+
+  /** Infix suggestions — the reference's `AnalyzingInfixSuggester` contract
+    * (`lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/AnalyzingInfixSuggester.java:82-100`):
+    * a suggestion matches when the query is a PREFIX of any analyzed token
+    * of its text (so the match may sit anywhere inside the suggestion),
+    * ranked by weight descending. The reference materializes edge-ngrams of
+    * every token into an auxiliary index; relationally the same contract is
+    * one predicate over the token array (`exists(tokens, startswith)`), a
+    * pushed scan + TakeOrdered — the auxiliary structure is the column.
+    *
+    * `suggestions` carries (`textCol`: suggestion text, `weightCol`). */
+  def infix(suggestions: DataFrame, textCol: String, weightCol: String,
+            query: String, k: Int): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= lit(""))
+    suggestions
+      .filter(exists(toks, t => t.startsWith(lit(query))))
+      .select(col(textCol).as("suggestion"), col(weightCol).cast("long").as("weight"))
+      .orderBy(desc("weight"), asc("suggestion"))
+      .limit(k)
+  }
 }
