@@ -126,6 +126,15 @@ object Analyzers {
     "be", "még", "vagy", "igen", "mert", "ezt", "abban", "akkor", "amely",
     "ami", "át", "így", "majd", "most")
 
+  /** High-frequency subset of the reference's Arabic stop list
+    * (`analysis/ar/stopwords.txt` — UNnormalized forms, checked before the
+    * normalizer like the reference's filter order). */
+  val ArabicStopWords: Set[String] = Set(
+    "من", "ومن", "منها", "منه", "في", "وفي", "فيها", "فيه", "و", "ف",
+    "ثم", "او", "أو", "ب", "بها", "به", "ا", "أ", "اى", "اي", "أي", "أى",
+    "لا", "ولا", "الا", "ألا", "إلا", "لكن", "ما", "وما", "على", "عليه",
+    "هذا", "هذه", "ذلك", "التي", "الذي", "ان", "أن", "إن", "كان", "قد")
+
   /** The reference CJKAnalyzer's default stop set — common English words
     * plus "www" (`lucene/analysis/common/src/resources/org/apache/lucene/analysis/cjk/stopwords.txt`;
     * the file's double-byte interpunctions never reach the stop filter here
@@ -153,6 +162,7 @@ object Analyzers {
     case "russian"        => RussianAnalyzer()
     case "finnish"        => FinnishAnalyzer()
     case "hungarian"      => HungarianAnalyzer()
+    case "arabic"         => ArabicAnalyzer()
     case "folding"        => AsciiFoldingAnalyzer()
     case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
       ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)

@@ -1,0 +1,71 @@
+package graft
+
+import graft.core.{Analyzers, Arabic, ArabicAnalyzer}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Arabic normalizer + light-10 stemmer pinned to the reference's own unit
+  * test vectors (`TestArabicNormalizationFilter.java:31-83`,
+  * `TestArabicStemFilter.java:32-112`). */
+class ArabicSpec extends AnyFunSuite {
+
+  test("normalizer matches the reference vectors") {
+    val vectors = Seq(
+      "آجن" -> "اجن",       // alef madda
+      "أحمد" -> "احمد",     // alef hamza above
+      "إعاذ" -> "اعاذ",     // alef hamza below
+      "بنى" -> "بني",       // dotless yeh
+      "فاطمة" -> "فاطمه",   // teh marbuta
+      "روبرـــــت" -> "روبرت", // tatweel
+      "مَبنا" -> "مبنا",     // fatha
+      "علِي" -> "علي",      // kasra
+      "بُوات" -> "بوات",    // damma
+      "ولداً" -> "ولدا",    // fathatan
+      "ولدٍ" -> "ولد",      // kasratan
+      "ولدٌ" -> "ولد",      // dammatan
+      "نلْسون" -> "نلسون",  // sukun
+      "هتميّ" -> "هتمي")    // shadda
+    vectors.foreach { case (in, want) =>
+      assert(Arabic.normalize(in) == want, s"normalize($in)")
+    }
+  }
+
+  test("light-10 stemmer matches the reference vectors") {
+    val vectors = Seq(
+      "الحسن" -> "حسن",     // al- prefix
+      "والحسن" -> "حسن",    // wal- prefix
+      "بالحسن" -> "حسن",    // bal- prefix
+      "كالحسن" -> "حسن",    // kal- prefix
+      "فالحسن" -> "حسن",    // fal- prefix
+      "للاخر" -> "اخر",     // ll- prefix
+      "وحسن" -> "حسن",      // wa- prefix
+      "زوجها" -> "زوج",     // -ha suffix
+      "ساهدان" -> "ساهد",   // -an
+      "ساهدات" -> "ساهد",   // -at
+      "ساهدون" -> "ساهد",   // -wn
+      "ساهدين" -> "ساهد",   // -yn
+      "ساهديه" -> "ساهد",   // -yh
+      "ساهدية" -> "ساهد",   // -yp
+      "ساهده" -> "ساهد",    // -h
+      "ساهدة" -> "ساهد",    // -p
+      "ساهدي" -> "ساهد",    // -y
+      "وساهدون" -> "ساهد",  // prefix + suffix together
+      "ساهدهات" -> "ساهد",  // cumulative suffixes (-at then -h)
+      "الو" -> "الو",       // shouldn't stem (too short after)
+      "English" -> "English") // non-Arabic passthrough
+    vectors.foreach { case (in, want) =>
+      assert(Arabic.stem(in) == want, s"stem($in)")
+    }
+  }
+
+  test("chain: lowercase → stop on UNnormalized surface → normalize → stem") {
+    val a = ArabicAnalyzer()
+    // "في" is a stop word (surface form); "الحسن" stems to "حسن"
+    val toks = a.tokenize("الحسن في البيت")
+    assert(toks.map(_.term) == Vector("حسن", "بيت"))
+    assert(toks.map(_.position) == Vector(0, 2))
+  }
+
+  test("registry resolves the chain") {
+    assert(Analyzers.byName("arabic").isInstanceOf[ArabicAnalyzer])
+  }
+}
