@@ -135,6 +135,15 @@ object Analyzers {
     "لا", "ولا", "الا", "ألا", "إلا", "لكن", "ما", "وما", "على", "عليه",
     "هذا", "هذه", "ذلك", "التي", "الذي", "ان", "أن", "إن", "كان", "قد")
 
+  /** High-frequency subset of the reference's Persian stop list
+    * (`analysis/fa/stopwords.txt` — already-normalized forms, checked AFTER
+    * the normalizers like the reference's filter order). */
+  val PersianStopWords: Set[String] = Set(
+    "و", "در", "به", "از", "كه", "مي", "اين", "است", "را", "با", "هاي",
+    "براي", "آن", "يك", "شود", "شده", "خود", "ها", "كرد", "شد", "اي",
+    "تا", "كند", "بر", "بود", "گفت", "نيز", "وي", "هم", "كنند", "دارد",
+    "ما", "كرده", "يا", "اما", "بايد", "دو", "اند", "هر", "خواهد")
+
   /** The reference CJKAnalyzer's default stop set — common English words
     * plus "www" (`lucene/analysis/common/src/resources/org/apache/lucene/analysis/cjk/stopwords.txt`;
     * the file's double-byte interpunctions never reach the stop filter here
@@ -163,6 +172,7 @@ object Analyzers {
     case "finnish"        => FinnishAnalyzer()
     case "hungarian"      => HungarianAnalyzer()
     case "arabic"         => ArabicAnalyzer()
+    case "persian"        => PersianAnalyzer()
     case "folding"        => AsciiFoldingAnalyzer()
     case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
       ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)

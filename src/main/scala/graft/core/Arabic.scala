@@ -67,6 +67,44 @@ object Arabic {
   }
 }
 
+/** Persian normalization — exact `PersianNormalizer`
+  * (`lucene/analysis/common/src/java/org/apache/lucene/analysis/fa/PersianNormalizer.java:34-85`):
+  * farsi yeh / yeh barree → arabic yeh, keheh → kaf, heh+yeh / heh goal →
+  * heh, hamza-above deleted. */
+object Persian {
+  def normalize(term: String): String = {
+    val b = new StringBuilder(term.length)
+    term.foreach {
+      case 'ی' | 'ے' => b.append('ي') // farsi yeh, yeh barree → yeh
+      case 'ک' => b.append('ك') // keheh → kaf
+      case 'ۀ' | 'ہ' => b.append('ه') // heh+yeh, heh goal → heh
+      case 'ٔ' => // hamza above: deleted
+      case c => b.append(c)
+    }
+    b.toString
+  }
+}
+
+/** Persian analysis chain (reference `PersianAnalyzer.java:128-141`):
+  * tokenize → lowercase → ARABIC normalize → Persian normalize → stop — the
+  * reference's stop list is NORMALIZED, so the stop check runs after both
+  * normalizers (the reverse of the Arabic chain's ordering). No stemmer. */
+final case class PersianAnalyzer(stopWords: Set[String] = Analyzers.PersianStopWords)
+    extends Analyzer {
+  override val name = "persian"
+  override def tokenize(text: String): IndexedSeq[Token] = {
+    val out = Vector.newBuilder[Token]
+    tokenizeRaw(text, (src, s, e, pos) => out += Token(src.substring(s, e), pos))
+    out.result()
+  }
+  override def tokenizeRaw(text: String, sink: TokenSink): Unit =
+    SimpleUnicodeAnalyzer.tokenize(text).foreach { t =>
+      val normalized = Persian.normalize(Arabic.normalize(t.term))
+      if (!stopWords.contains(normalized))
+        sink.accept(normalized, 0, normalized.length, t.position)
+    }
+}
+
 /** Arabic analysis chain (reference `ArabicAnalyzer.java:131-143`):
   * tokenize → lowercase → stop(AR on the UNnormalized surface form — the
   * reference's stop list is not normalized, order matters) → normalize →

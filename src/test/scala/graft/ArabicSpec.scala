@@ -68,4 +68,28 @@ class ArabicSpec extends AnyFunSuite {
   test("registry resolves the chain") {
     assert(Analyzers.byName("arabic").isInstanceOf[ArabicAnalyzer])
   }
+
+  test("Persian normalizer matches the reference vectors") {
+    import graft.core.Persian
+    val vectors = Seq(
+      "های" -> "هاي",     // farsi yeh
+      "هاے" -> "هاي",     // yeh barree
+      "کشاندن" -> "كشاندن", // keheh → kaf
+      "كتابۀ" -> "كتابه",  // heh+yeh
+      "كتابهٔ" -> "كتابه", // heh + hamza above (deleted)
+      "زادہ" -> "زاده")    // heh goal
+    vectors.foreach { case (in, want) =>
+      assert(Persian.normalize(graft.core.Arabic.normalize(in)) == want, s"persian($in)")
+    }
+  }
+
+  test("Persian chain: stop on the NORMALIZED form, after both normalizers") {
+    import graft.core.PersianAnalyzer
+    // "که" normalizes to "كه" (keheh→kaf) which IS the stop form — the
+    // filter order (normalize THEN stop) is observable
+    val toks = PersianAnalyzer().tokenize("کتاب که خوب")
+    assert(toks.map(_.term) == Vector("كتاب", "خوب"))
+    assert(toks.map(_.position) == Vector(0, 2))
+    assert(Analyzers.byName("persian").isInstanceOf[PersianAnalyzer])
+  }
 }
