@@ -91,6 +91,14 @@ object PipelineQueries {
           k = 10, nlist = 8, nprobe = 8)
         .select(col("id").as("vec_id"), round(col("cos"), 6).as("cos"))
     }),
+    "q105_ann_truncated" -> ((s, dir) => {
+      // Matryoshka-style truncated-dimension pass: exact cosine over the
+      // first 16 of 64 components (the cheap first stage for MRL
+      // embeddings; rescore on survivors = bruteForceTopK)
+      Ann.truncatedTopK(embeddings(s, dir), "vec_id", "embedding",
+          dims = 16, queryId = 0L, k = 10)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
     "q98_ann_filtered" -> ((s, dir) => {
       // filtered kNN (KnnFloatVectorQuery with a filter): top-k among
       // label=1 vectors only; the predicate pushes into the parquet scan
@@ -261,6 +269,15 @@ object PipelineQueries {
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY list_cosine_similarity(embedding::DOUBLE[],
         |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q105_ann_truncated" ->
+      """SELECT vec_id,
+        |       round(list_cosine_similarity(list_slice(embedding, 1, 16)::DOUBLE[],
+        |         (SELECT list_slice(embedding, 1, 16)::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(list_slice(embedding, 1, 16)::DOUBLE[],
+        |  (SELECT list_slice(embedding, 1, 16)::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 10""".stripMargin,
 
     "q98_ann_filtered" ->
