@@ -144,6 +144,14 @@ object Analyzers {
     "تا", "كند", "بر", "بود", "گفت", "نيز", "وي", "هم", "كنند", "دارد",
     "ما", "كرده", "يا", "اما", "بايد", "دو", "اند", "هر", "خواهد")
 
+  /** High-frequency subset of the reference's Sorani stop list
+    * (`analysis/ckb/stopwords.txt` — normalized forms, checked after the
+    * normalizer like the reference's filter order). */
+  val SoraniStopWords: Set[String] = Set(
+    "و", "کە", "ی", "کرد", "ئەوەی", "سەر", "دوو", "هەروەها", "لەو",
+    "دەکات", "چەند", "هەر", "ئەو", "ئەم", "من", "ئێمە", "تۆ", "ئێوە",
+    "ئەوان", "بە", "پێ", "بۆ", "لە", "لێ", "دوای", "جگە", "بێ")
+
   /** The reference CJKAnalyzer's default stop set — common English words
     * plus "www" (`lucene/analysis/common/src/resources/org/apache/lucene/analysis/cjk/stopwords.txt`;
     * the file's double-byte interpunctions never reach the stop filter here
@@ -173,6 +181,7 @@ object Analyzers {
     case "hungarian"      => HungarianAnalyzer()
     case "arabic"         => ArabicAnalyzer()
     case "persian"        => PersianAnalyzer()
+    case "sorani"         => SoraniAnalyzer()
     case "folding"        => AsciiFoldingAnalyzer()
     case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
       ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)

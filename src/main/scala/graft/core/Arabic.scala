@@ -98,7 +98,7 @@ final case class PersianAnalyzer(stopWords: Set[String] = Analyzers.PersianStopW
     out.result()
   }
   override def tokenizeRaw(text: String, sink: TokenSink): Unit =
-    SimpleUnicodeAnalyzer.tokenize(text).foreach { t =>
+    StandardLikeAnalyzer().tokenize(text).foreach { t =>
       val normalized = Persian.normalize(Arabic.normalize(t.term))
       if (!stopWords.contains(normalized))
         sink.accept(normalized, 0, normalized.length, t.position)
@@ -118,7 +118,7 @@ final case class ArabicAnalyzer(stopWords: Set[String] = Analyzers.ArabicStopWor
     out.result()
   }
   override def tokenizeRaw(text: String, sink: TokenSink): Unit =
-    SimpleUnicodeAnalyzer.tokenize(text).foreach { t =>
+    StandardLikeAnalyzer().tokenize(text).foreach { t =>
       if (!stopWords.contains(t.term)) {
         val stemmed = Arabic.stem(Arabic.normalize(t.term))
         sink.accept(stemmed, 0, stemmed.length, t.position)
