@@ -152,6 +152,16 @@ object Analyzers {
     "دەکات", "چەند", "هەر", "ئەو", "ئەم", "من", "ئێمە", "تۆ", "ئێوە",
     "ئەوان", "بە", "پێ", "بۆ", "لە", "لێ", "دوای", "جگە", "بێ")
 
+  /** High-frequency subset of the reference's Indonesian stop list
+    * (`analysis/id/stopwords.txt`). */
+  val IndonesianStopWords: Set[String] = Set(
+    "ada", "adalah", "adanya", "agar", "akan", "aku", "anda", "antara",
+    "apa", "atau", "bagi", "bahwa", "banyak", "belum", "bisa", "dalam",
+    "dan", "dari", "dengan", "di", "dia", "hanya", "harus", "ini", "itu",
+    "jika", "juga", "kami", "kamu", "karena", "ke", "kita", "lebih",
+    "mereka", "oleh", "pada", "saya", "sebagai", "sudah", "tidak",
+    "untuk", "yang")
+
   /** The reference CJKAnalyzer's default stop set — common English words
     * plus "www" (`lucene/analysis/common/src/resources/org/apache/lucene/analysis/cjk/stopwords.txt`;
     * the file's double-byte interpunctions never reach the stop filter here
@@ -182,6 +192,8 @@ object Analyzers {
     case "arabic"         => ArabicAnalyzer()
     case "persian"        => PersianAnalyzer()
     case "sorani"         => SoraniAnalyzer()
+    case "indonesian"     => IndonesianAnalyzer()
+    case "indonesian-inflectional" => IndonesianAnalyzer(stemDerivational = false)
     case "folding"        => AsciiFoldingAnalyzer()
     case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
       ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)
