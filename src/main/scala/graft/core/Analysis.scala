@@ -162,6 +162,14 @@ object Analyzers {
     "mereka", "oleh", "pada", "saya", "sebagai", "sudah", "tidak",
     "untuk", "yang")
 
+  /** High-frequency subset of the reference's Czech stop list
+    * (`analysis/cz/stopwords.txt`). */
+  val CzechStopWords: Set[String] = Set(
+    "a", "s", "k", "o", "i", "u", "v", "z", "že", "je", "na", "do", "se",
+    "by", "byl", "byla", "bylo", "jak", "ale", "či", "co", "tak", "to",
+    "ten", "ta", "pro", "po", "při", "od", "už", "jen", "jsou", "jsem",
+    "není", "nebo", "jeho", "její", "jejich", "který", "která", "které")
+
   /** The reference CJKAnalyzer's default stop set — common English words
     * plus "www" (`lucene/analysis/common/src/resources/org/apache/lucene/analysis/cjk/stopwords.txt`;
     * the file's double-byte interpunctions never reach the stop filter here
@@ -194,6 +202,7 @@ object Analyzers {
     case "sorani"         => SoraniAnalyzer()
     case "indonesian"     => IndonesianAnalyzer()
     case "indonesian-inflectional" => IndonesianAnalyzer(stemDerivational = false)
+    case "czech"          => CzechAnalyzer()
     case "folding"        => AsciiFoldingAnalyzer()
     case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
       ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)
