@@ -584,16 +584,20 @@ final case class FrenchAnalyzer(stopWords: Set[String] = Analyzers.FrenchStopWor
     out.result()
   }
   override def tokenizeRaw(text: String, sink: TokenSink): Unit = {
-    // the unicode tokenizer splits on the apostrophe, so elision articles
-    // arrive as standalone tokens: drop them WITHOUT consuming a position
-    // (the reference's ElisionFilter rewrites l'art to ONE token "art");
-    // stop words, by contrast, keep their increment
+    // the unicode tokenizer splits at the apostrophe, so an elided article
+    // (l'art) arrives as a standalone token FOLLOWED BY an apostrophe in the
+    // source: drop exactly those without consuming a position (the
+    // reference's ElisionFilter rewrites l'art to ONE token "art"). A
+    // standalone article with no apostrophe (common word "l" won't occur,
+    // but e.g. "d" in initials) falls through to the stop filter, which
+    // keeps its position increment — matching the reference, where
+    // ElisionFilter never touches apostrophe-free tokens (ADVICE r3 #1).
     var elided = 0
-    SimpleUnicodeAnalyzer.tokenize(text).foreach { t =>
-      if (elisions.contains(t.term)) elided += 1
-      else if (!stopWords.contains(t.term)) {
-        val stemmed = FrenchLightStem.stem(t.term)
-        sink.accept(stemmed, 0, stemmed.length, t.position - elided)
+    ElisionTokens.foreach(text) { (term, pos, apos) =>
+      if (apos && elisions.contains(term)) elided += 1
+      else if (!stopWords.contains(term)) {
+        val stemmed = FrenchLightStem.stem(term)
+        sink.accept(stemmed, 0, stemmed.length, pos - elided)
       }
     }
   }
@@ -871,6 +875,30 @@ object AsciiFolding {
 /** Lowercased maximal letter/digit runs over the FULL Unicode alphabet (the
   * folding chain needs non-ASCII letters to survive tokenization, which
   * [[SimpleAnalyzer]]'s ASCII-only runs would drop). */
+/** [[SimpleUnicodeAnalyzer]]'s token stream plus apostrophe-attachment: the
+  * callback's third argument is true when the char immediately after the
+  * token in the source is an apostrophe (' or ’) — the precondition of the
+  * reference's `ElisionFilter` (`ElisionFilter.java:63` strips only
+  * apostrophe-attached articles like l'arte; a standalone article token is
+  * left for the stop filter, which preserves position increments). */
+private[core] object ElisionTokens {
+  def foreach(text: String)(f: (String, Int, Boolean) => Unit): Unit = {
+    val lower = text.toLowerCase
+    val n = lower.length
+    var i = 0
+    var pos = 0
+    while (i < n) {
+      if (Character.isLetterOrDigit(lower.charAt(i))) {
+        val start = i
+        while (i < n && Character.isLetterOrDigit(lower.charAt(i))) i += 1
+        val apos = i < n && (lower.charAt(i) == '\'' || lower.charAt(i) == '’')
+        f(lower.substring(start, i), pos, apos)
+        pos += 1
+      } else i += 1
+    }
+  }
+}
+
 object SimpleUnicodeAnalyzer extends Analyzer {
   override val name = "simple-unicode"
   override def tokenize(text: String): IndexedSeq[Token] = {

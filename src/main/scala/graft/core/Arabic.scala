@@ -83,12 +83,58 @@ object Persian {
     }
     b.toString
   }
+
+  /** Exact `PersianStemmer`
+    * (`lucene/analysis/common/src/java/org/apache/lucene/analysis/fa/PersianStemmer.java:44-82`):
+    * EVERY matching suffix strips, in table order, each requiring ≥ 2 chars
+    * to remain. Characters are the post-normalization (arabic yeh) forms. */
+  def stem(term: String): String = {
+    var s = term
+    stemSuffixes.foreach { suf =>
+      if (s.length >= suf.length + 2 && s.endsWith(suf))
+        s = s.substring(0, s.length - suf.length)
+    }
+    s
+  }
+
+  // alef-teh, alef-noon, teh-reh-yeh-noon, teh-reh, yeh-yeh, yeh, heh-alef,
+  // ZWNJ — explicit escapes (arabic yeh ي, the POST-normalization form)
+  private val stemSuffixes: Seq[String] = Seq(
+    "\u0627\u062A", "\u0627\u0646", "\u062A\u0631\u064A\u0646",
+    "\u062A\u0631", "\u064A\u064A", "\u064A", "\u0647\u0627", "\u200C")
+
+  /** `DecimalDigitFilter`
+    * (`lucene/analysis/common/src/java/org/apache/lucene/analysis/core/DecimalDigitFilter.java:44-62`):
+    * non-Latin decimal digits (Arabic-Indic ۱۲۳, etc.) fold to ASCII. */
+  def foldDigits(term: String): String = {
+    var i = 0
+    var changed = false
+    while (i < term.length && !changed) {
+      val ch = term.codePointAt(i)
+      if (ch > 0x7F && Character.isDigit(ch)) changed = true
+      i += Character.charCount(ch)
+    }
+    if (!changed) return term
+    val b = new StringBuilder(term.length)
+    i = 0
+    while (i < term.length) {
+      val ch = term.codePointAt(i)
+      if (ch > 0x7F && Character.isDigit(ch))
+        b.append(('0' + Character.getNumericValue(ch)).toChar)
+      else b.appendAll(Character.toChars(ch))
+      i += Character.charCount(ch)
+    }
+    b.toString
+  }
 }
 
-/** Persian analysis chain (reference `PersianAnalyzer.java:128-141`):
-  * tokenize → lowercase → ARABIC normalize → Persian normalize → stop — the
-  * reference's stop list is NORMALIZED, so the stop check runs after both
-  * normalizers (the reverse of the Arabic chain's ordering). No stemmer. */
+/** Persian analysis chain — the reference `PersianAnalyzer.java:126-144` in
+  * full: PersianCharFilter (ZWNJ → space, pre-tokenization) → tokenize →
+  * lowercase → DecimalDigitFilter → ARABIC normalize → Persian normalize →
+  * stop (the reference's stop list is NORMALIZED, so the stop check runs
+  * after both normalizers — the reverse of the Arabic chain's ordering) →
+  * PersianStemFilter. With the char filter applied, no token can carry the
+  * stemmer's ZWNJ suffix — same dead rule as the reference chain. */
 final case class PersianAnalyzer(stopWords: Set[String] = Analyzers.PersianStopWords)
     extends Analyzer {
   override val name = "persian"
@@ -97,12 +143,18 @@ final case class PersianAnalyzer(stopWords: Set[String] = Analyzers.PersianStopW
     tokenizeRaw(text, (src, s, e, pos) => out += Token(src.substring(s, e), pos))
     out.result()
   }
-  override def tokenizeRaw(text: String, sink: TokenSink): Unit =
-    StandardLikeAnalyzer().tokenize(text).foreach { t =>
-      val normalized = Persian.normalize(Arabic.normalize(t.term))
-      if (!stopWords.contains(normalized))
-        sink.accept(normalized, 0, normalized.length, t.position)
+  override def tokenizeRaw(text: String, sink: TokenSink): Unit = {
+    // PersianCharFilter: ZWNJ is WB=Extend under UAX#29 (it would be absorbed
+    // into a token), so the reference splits words on it BEFORE the tokenizer
+    val filtered = if (text.indexOf('‌') >= 0) text.replace('‌', ' ') else text
+    StandardLikeAnalyzer().tokenize(filtered).foreach { t =>
+      val normalized = Persian.normalize(Arabic.normalize(Persian.foldDigits(t.term)))
+      if (!stopWords.contains(normalized)) {
+        val stemmed = Persian.stem(normalized)
+        sink.accept(stemmed, 0, stemmed.length, t.position)
+      }
     }
+  }
 }
 
 /** Arabic analysis chain (reference `ArabicAnalyzer.java:131-143`):

@@ -122,14 +122,18 @@ final case class ItalianAnalyzer(stopWords: Set[String] = Analyzers.ItalianStopW
     out.result()
   }
   override def tokenizeRaw(text: String, sink: TokenSink): Unit = {
-    // the tokenizer splits at the apostrophe, so elided articles arrive as
-    // standalone tokens preceding their noun: drop them without a position
+    // the tokenizer splits at the apostrophe, so an elided article (l'arte)
+    // arrives as a standalone token FOLLOWED BY an apostrophe in the source:
+    // drop exactly those without consuming a position. A standalone article
+    // token (the very common word "un") is NOT elision — it falls through to
+    // the stop filter, which preserves position increments, exactly like the
+    // reference's ElisionFilter + StopFilter pipeline (ADVICE r3 #1).
     var elided = 0
-    SimpleUnicodeAnalyzer.tokenize(text).foreach { t =>
-      if (elisions.contains(t.term)) elided += 1
-      else if (!stopWords.contains(t.term)) {
-        val stemmed = ItalianLightStem.stem(t.term)
-        sink.accept(stemmed, 0, stemmed.length, t.position - elided)
+    ElisionTokens.foreach(text) { (term, pos, apos) =>
+      if (apos && elisions.contains(term)) elided += 1
+      else if (!stopWords.contains(term)) {
+        val stemmed = ItalianLightStem.stem(term)
+        sink.accept(stemmed, 0, stemmed.length, pos - elided)
       }
     }
   }

@@ -42,8 +42,11 @@ object Sorani {
           if (i == term.length - 1) b.append(Ae) else b.append(Heh)
         case 'ة' => b.append(Ae) // teh marbuta
         case 'ھ' => b.append(Heh) // heh doachashmee
-        case 'ر' => // reh: word-initial becomes rreh
-          if (i == 0) b.append(Rreh) else b.append('ر')
+        case 'ر' => // reh: word-initial becomes rreh. Judged on the OUTPUT
+          // buffer (the reference normalizes in place, so a reh that becomes
+          // position 0 after deleting leading harakat/tatweel/format chars
+          // still converts), not on the input index.
+          if (b.isEmpty) b.append(Rreh) else b.append('ر')
         case 'ڒ' => b.append(Rreh) // rreh with small v above
         case c if deleted.contains(c) => // harakat/tatweel
         case c if Character.getType(c) == Character.FORMAT => // directional controls

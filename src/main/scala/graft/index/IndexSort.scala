@@ -74,7 +74,10 @@ object IndexSort {
                       term: String, k: Int): DataFrame = {
     val hits = new graft.search.Searcher(index, graft.search.ScoringMode.PreciseBM25())
       .searchByIndexOrder(term, k)
-    hits.join(broadcast(sortMap), "docId")
+    // broadcast the ≤ k HITS side — the sortmap is one row per document
+    // (the big side by construction: broadcasting it would ship the whole
+    // doc-id map to every executor and OOM at 10^9+ docs)
+    broadcast(hits).join(sortMap, "docId")
       .select(col("extId"), col("sortKey"), col("score"))
       .orderBy(asc("sortKey"), asc("extId"))
   }
@@ -92,9 +95,12 @@ object IndexSort {
       .withColumn("extId", lit(0L)).withColumn("score", lit(0.0)).limit(0)
     val q = graft.search.DocIdRangeQuery(
       graft.search.TermQuery(term), bounds.getLong(0), bounds.getLong(1))
+    // no broadcast hint on the per-doc sortmap (the big side); the hits
+    // side is bounded by the doc-id range — let Catalyst/AQE pick the join
+    // shape from measured sizes
     new graft.search.Searcher(index, graft.search.ScoringMode.PreciseBM25())
       .scored(q)
-      .join(broadcast(sortMap), "docId")
+      .join(sortMap, "docId")
       .select(col("extId"), col("sortKey"), col("score"))
   }
 }

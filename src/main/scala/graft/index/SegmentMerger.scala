@@ -51,8 +51,11 @@ final case class MergeMetrics(
   *  1. The skew pre-pass reads per-term df from the already-aggregated (and
   *     Zipf-tiny relative to postings) `term_stats` table — no postings scan.
   *  2. Terms whose df exceeds `targetPostingsPerGroup` are the head set —
-  *     by Zipf's law a tiny fraction of the vocabulary — so the salt map
-  *     `term -> nBuckets = ceil(df / target)` is small and broadcastable.
+  *     by Zipf's law a tiny fraction of the vocabulary. The
+  *     `(term, nBuckets = ceil(df / target))` head set stays a JOINED FRAME
+  *     (AQE broadcast-hashes it while small, sort-merges when not), never a
+  *     driver-collected Map — at 10^12 docs the head vocabulary alone could
+  *     be 10^6+ terms.
   *  3. Head-term rows get `salt = hash(segmentId, blockGroup) % nBuckets`;
   *     tail terms salt 0. The shuffle key is `(term, salt)`, so every reduce
   *     group holds ~`targetPostingsPerGroup` postings in expectation
@@ -114,24 +117,16 @@ object SegmentMerger {
     // vanishing fraction of the vocabulary.
     val purge = index.deletedDocs.isDefined
 
-    val headTerms: Map[String, Int] = index.termStats
+    // The head set stays a FRAME, never a driver Map: at 10^12 docs the
+    // df > target vocabulary is plausibly 10^6-10^7 terms — a
+    // multi-hundred-MB closure would OOM the driver. As a join, AQE
+    // broadcast-hashes it while small and sort-merges it when not.
+    val headFrame = index.termStats
       .filter(col("df") > targetPostingsPerGroup.toLong)
-      .select("term", "df")
-      .as[(String, Long)]
-      .collect()
-      .map { case (t, n) => t -> math.ceil(n.toDouble / targetPostingsPerGroup).toInt }
-      .toMap
-    val bc = spark.sparkContext.broadcast(headTerms)
-
-    // (3) salt + shuffle on (term, salt).
-    val saltUdf = udf { (term: String, segmentId: Long, blockGroup: Int) =>
-      bc.value.get(term) match {
-        case Some(n) =>
-          val h = scala.util.hashing.MurmurHash3.productHash((segmentId, blockGroup))
-          ((h % n) + n) % n
-        case None => 0
-      }
-    }
+      .select(col("term").as("headTerm"),
+        ceil(col("df").cast("double") / targetPostingsPerGroup).cast("int").as("nBuckets"))
+    val saltedTerms =
+      if (computeMetrics) headFrame.count().toInt else -1
     val mergedSegBase = 1000000000L * mergeRound
 
     // (4) per-group decode → merge-sort by doc → re-encode dense blocks.
@@ -143,8 +138,15 @@ object SegmentMerger {
     // memory bound that makes the merge safe at any corpus size and any
     // executor-thread count. Sorted order also means merged terms land in
     // parquet in term order → row-group min/max stats prune term lookups.
+    // (3) salt in-plan: Catalyst murmur3 `hash` of (segmentId, blockGroup)
+    // bucketed by the joined nBuckets; tail terms (no head row) salt 0.
+    // Deterministic under task retries (hash is seed-fixed).
     val salted = postings
-      .withColumn("salt", saltUdf(col("term"), col("segmentId"), col("blockGroup")))
+      .join(headFrame, col("term") === col("headTerm"), "left")
+      .withColumn("salt",
+        when(col("nBuckets").isNull, lit(0))
+          .otherwise(pmod(hash(col("segmentId"), col("blockGroup")), col("nBuckets"))))
+      .drop("headTerm", "nBuckets")
 
     val merged: Dataset[StageRow] =
       if (!purge) {
@@ -322,6 +324,6 @@ object SegmentMerger {
     val rowsOut = if (computeMetrics) out.postings.count() else -1L
     val blocksOut =
       if (computeMetrics) out.postings.select(sum(col("nblocks"))).as[Long].head() else -1L
-    (out, MergeMetrics(mergeRound, rowsIn, rowsOut, blocksIn, blocksOut, headTerms.size))
+    (out, MergeMetrics(mergeRound, rowsIn, rowsOut, blocksIn, blocksOut, saltedTerms))
   }
 }

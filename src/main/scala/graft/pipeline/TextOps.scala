@@ -17,8 +17,14 @@ object TextOps {
     * a single core. No-op when the input is already at least as parallel as
     * the cluster (the at-scale case), so this never coalesces real inputs. */
   def parallelized(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Catalyst-side size check (no RDD materialization): a file scan splits
+    // into ~sizeInBytes / maxPartitionBytes partitions, so an input smaller
+    // than target × maxPartitionBytes cannot saturate the cluster
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(maxPart) * target) df.repartition(target) else df
   }
 
   /** Tokens of `c` under the engine's SimpleAnalyzer contract: lowercase,

@@ -125,7 +125,7 @@ object Grouping {
       org.apache.spark.sql.Row(r.get(0), i + 1)
     }
     val ranksDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(rankRows.toSeq, 1),
+      java.util.Arrays.asList(rankRows: _*),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(groupDim, dimType),
         org.apache.spark.sql.types.StructField("groupRank",

@@ -61,9 +61,18 @@ object Geo {
   def decodeLatitude(encoded: Int): Double = encoded * LatDecode
   def decodeLongitude(encoded: Int): Double = encoded * LonDecode
 
-  /** Column-level encode (floor) — the per-point index-time quantization. */
-  def encLat(c: Column): Column = floor(c / lit(LatDecode)).cast("long")
-  def encLon(c: Column): Column = floor(c / lit(LonDecode)).cast("long")
+  /** Column-level encode (floor) — the per-point index-time quantization.
+    * Mirrors the scalar forms' lat==90 / lon==180 nextDown fold: without it a
+    * point exactly at the pole/dateline encodes to 2^31 (out of int range)
+    * and never matches a box/distance query whose bound is the pole. */
+  def encLat(c: Column): Column = {
+    val enc = floor(c / lit(LatDecode)).cast("long")
+    when(c >= lit(90.0), lit(encodeLatitude(90.0).toLong)).otherwise(enc)
+  }
+  def encLon(c: Column): Column = {
+    val enc = floor(c / lit(LonDecode)).cast("long")
+    when(c >= lit(180.0), lit(encodeLongitude(180.0).toLong)).otherwise(enc)
+  }
 
   /** `LatLonPoint.newBoxQuery` as a pushable predicate: encoded-space range
     * per dimension, dateline-crossing boxes (maxLon < minLon) split into the

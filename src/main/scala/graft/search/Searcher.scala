@@ -330,6 +330,14 @@ final class Searcher(
   private def emptyFrame: DataFrame =
     spark.emptyDataset[(Long, Double)].toDF("docId", "score")
 
+  /** Driver-collected (docId, score) rows as a LocalRelation frame — no RDD,
+    * and a downstream `.collect()` is a driver-side no-op. */
+  private def localTopFrame(rows: Array[org.apache.spark.sql.Row]): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+
   /** Single-term scored doc set. */
   private def termFrame(term: String, stats: Map[String, TermStats], boost: Double): DataFrame =
     stats.get(term) match {
@@ -491,13 +499,12 @@ final class Searcher(
           .select("docId", "score")
       }
     // materialize the top-k once (driver-side rows) — the completeness check
-    // and the result share one execution instead of recomputing the plan
+    // and the result share one execution instead of recomputing the plan;
+    // the ≤ k rows re-enter the plan as a LocalRelation (a caller's
+    // .collect() on it is a driver-side no-op, not another Spark job)
     val top = candidates.orderBy(desc("score"), asc("docId")).limit(k).collect()
     if (top.length < k) exhaustive()
-    else spark.createDataFrame(spark.sparkContext.parallelize(top.toSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+    else localTopFrame(top)
   }
 
   /** Synonym: union postings, sum freqs per doc, score as one pseudo-term with
@@ -1582,10 +1589,19 @@ final class Searcher(
       else {
         val arr = array(exp.map { case (qid, q) =>
           struct(lit(qid).as("qid"), expansionPred(q).as("m")) }: _*)
+        // cap IN-PLAN before the collect: a degenerate predicate (`/.*/`)
+        // must not pull the whole vocabulary's match rows into the driver —
+        // per-query row_number keeps ≤ cap+1 rows (the +1 marks over-cap
+        // queries for fallback), so the collect is bounded at
+        // queries × (cap+1) regardless of vocabulary size
+        val w = Window.partitionBy(col("qid")).orderBy(col("term"))
         val matched = index.termStats
           .select(col("term"),
             explode(org.apache.spark.sql.functions.filter(arr, s => s.getField("m"))).as("x"))
           .select(col("x.qid").as("qid"), col("term"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= ExpansionCap + 1)
+          .select("qid", "term")
           .collect().map(r => (r.getString(0), r.getString(1)))
         val byQ = matched.groupBy(_._1)
         val (ok, tooWide) = exp.partition { case (qid, _) =>

@@ -92,4 +92,37 @@ class ArabicSpec extends AnyFunSuite {
     assert(toks.map(_.position) == Vector(0, 2))
     assert(Analyzers.byName("persian").isInstanceOf[PersianAnalyzer])
   }
+
+  test("Persian stemmer matches the reference TestPersianStemFilter vectors") {
+    import graft.core.Persian
+    // lucene/analysis/common/src/test/org/apache/lucene/analysis/fa/TestPersianStemFilter.java:51-81
+    val vectors = Seq(
+      "دوستان" -> "دوست",       // -an
+      "كتابها" -> "كتاب",        // -ha
+      "جامدات" -> "جامد",        // -at
+      "عليرضايي" -> "عليرضا",    // -yee
+      "شادماني" -> "شادمان",     // -ye
+      "باحالتر" -> "باحال",      // -tar
+      "خوبترين" -> "خوب",        // -tarin
+      "كباب" -> "كباب")          // no stem
+    vectors.foreach { case (in, want) =>
+      assert(Persian.stem(in) == want, s"stem($in)")
+    }
+  }
+
+  test("Persian chain applies char filter, digit fold and stemmer") {
+    import graft.core.PersianAnalyzer
+    // ZWNJ splits words pre-tokenization (PersianCharFilter): "می" becomes a
+    // standalone token, which IS a (normalized) stop word — the surviving
+    // verb root sits at position 1, proving the split happened
+    val zwnj = PersianAnalyzer().tokenize("می‌رود")
+    assert(zwnj.map(t => (t.term, t.position)) == Vector(("رود", 1)))
+    // Extended Arabic-Indic digits fold to ASCII (DecimalDigitFilter)
+    val digits = PersianAnalyzer().tokenize("۱۲۳")
+    assert(digits.map(_.term) == Vector("123"))
+    // suffixed word stems through the full chain (farsi yeh normalizes to
+    // arabic yeh before the stemmer sees it)
+    val stemmed = PersianAnalyzer().tokenize("دوستان")
+    assert(stemmed.map(_.term) == Vector("دوست"))
+  }
 }

@@ -81,6 +81,20 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("column encode folds the pole/dateline like the scalar encode (ADVICE r3 #4)") {
+    // a document exactly at lat 90 / lon 180 must match a box whose upper
+    // bound is the pole/dateline — the scalar encode applies nextDown there,
+    // and the Column form must agree
+    val df = Seq((1L, 90.0, 180.0), (2L, 89.5, 179.5)).toDF("id", "lat", "lon")
+    val encs = df.select(Geo.encLat(col("lat")).as("a"), Geo.encLon(col("lon")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(encs(0)._1 == Geo.encodeLatitude(90.0).toLong)
+    assert(encs(0)._2 == Geo.encodeLongitude(180.0).toLong)
+    val got = df.filter(Geo.boxFilter(col("lat"), col("lon"), 89.0, 90.0, 179.0, 180.0))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
   test("real-geography sanity: New York to Boston is ~306 km") {
     val df = Seq((42.3601, -71.0589)).toDF("lat", "lon")
     val d = df.select(Geo.haversineMeters(col("lat"), col("lon"), 40.7128, -74.0060).as("d"))

@@ -55,6 +55,22 @@ class ItalianPortugueseSpec extends AnyFunSuite {
       Seq(Token("arte", 0), Token("guerr", 2)))
   }
 
+  test("Italian chain: standalone article is NOT elision — stop filter keeps its increment") {
+    val a = ItalianAnalyzer()
+    // "un" with no apostrophe goes to the STOP filter (position preserved,
+    // like the reference's ElisionFilter → StopFilter pipeline), so the
+    // following words keep their positions and phrases cannot match across
+    // the gap (ADVICE r3 #1)
+    assert(a.tokenize("un libro bello") ==
+      Seq(Token("libro", 1), Token("bello", 2)))
+    // with a custom stop set lacking "un", the standalone token SURVIVES
+    assert(ItalianAnalyzer(stopWords = Set.empty).tokenize("un libro").map(_.term) ==
+      Seq("un", "libro"))
+    // apostrophe-attached "un'" still elides without consuming a position
+    assert(a.tokenize("un'arte vera") ==
+      Seq(Token("arte", 0), Token("vera", 1)))
+  }
+
   test("Portuguese chain: stop filter before stemming, increments kept") {
     val a = PortugueseAnalyzer()
     assert(a.tokenize("as grandes tabelas") == Seq(Token("grand", 1), Token("tabel", 2)))

@@ -104,6 +104,18 @@ class RomanceSpec extends AnyFunSuite {
     assert(toks.map(_.position) == Vector(0, 2))
   }
 
+  test("French chain: standalone article is NOT elision (stop path, increment kept)") {
+    // "d" with no apostrophe (an initial) is not elided; it is not a stop
+    // word either, so it survives with its position (ADVICE r3 #1)
+    val toks = FrenchAnalyzer().tokenize("d art")
+    assert(toks.map(_.term) == Vector("d", "art"))
+    assert(toks.map(_.position) == Vector(0, 1))
+    // typographic apostrophe also marks elision
+    val typo = FrenchAnalyzer().tokenize("l’art moderne")
+    assert(typo.map(_.term) == Vector("art", "modern"))
+    assert(typo.map(_.position) == Vector(0, 1))
+  }
+
   test("French chain: stop on surface form, stem after") {
     // "les" is a stop word; "tables" is not, and stems to "tabl"
     val toks = FrenchAnalyzer().tokenize("les tables rondes")

@@ -36,6 +36,11 @@ class SoraniSpec extends AnyFunSuite {
     assert(Sorani.normalize("رر") == "ڕر") // initial reh only
     assert(Sorani.normalize("ڒ") == "ڕ")
     assert(Sorani.normalize("بَـ") == "ب") // harakat + tatweel deleted
+    // word-initial judged on the OUTPUT buffer: a reh that becomes position
+    // 0 after deleting leading tatweel/format chars still converts, like the
+    // reference's in-place scan (ADVICE r3 #3)
+    assert(Sorani.normalize("ـر") == "ڕ") // tatweel + reh
+    assert(Sorani.normalize("‎ر") == "ڕ") // LTR mark (format) + reh
   }
 
   test("stemmer suffix families (TestSoraniStemFilter vectors)") {
