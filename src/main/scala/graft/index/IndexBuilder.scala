@@ -269,6 +269,22 @@ object IndexBuilder {
                                 docs: Iterator[InputDoc]): Iterator[StageRow] =
     new SegmentFlusher(cfg, segNamespace, pid, docs)
 
+  /** The `term_stats` aggregation shared by both refresh variants: per-term
+    * df/ttf (map-side-combined counts) PLUS the merged competitive-impact
+    * frontier ([[ImpactFrontier]] — a bounded 256-slot buffer, equally
+    * map-side combinable), so a query's per-term max score bound is a
+    * driver-side lookup, never a per-query postings-metadata job. Nested
+    * pruning reads only `blocks.impFreqs`/`blocks.impDlbs`, not payloads. */
+  private def termStatsFrame(data: DataFrame): DataFrame = {
+    val frontierUdaf = udaf(ImpactFrontier.agg)
+    data.filter(col("kind") === 1)
+      .groupBy(col("term"))
+      .agg(sum(col("df")).cast("long").as("df"), sum(col("ttf")).as("ttf"),
+        frontierUdaf(col("blocks.impFreqs"), col("blocks.impDlbs")).as("frontier"))
+      .select(col("term"), col("df"), col("ttf"),
+        col("frontier.impFreqs").as("impFreqs"), col("frontier.impDlbs").as("impDlbs"))
+  }
+
   /** Recompute global term/collection statistics from the committed segment
     * data. The only shuffle of the build; partial (map-side) aggregation makes
     * it skew-proof — a head term contributes one partial count per task, not
@@ -276,9 +292,7 @@ object IndexBuilder {
   def refreshStats(spark: SparkSession, dir: String, version: Int = 0): Unit = {
     import spark.implicits._
     val data = spark.read.parquet(s"$dir/data")
-    data.filter($"kind" === 1)
-      .groupBy($"term")
-      .agg(sum($"df").cast("long").as("df"), sum($"ttf").as("ttf"))
+    termStatsFrame(data)
       .write.mode("overwrite").parquet(statsPath(dir, "term_stats", version))
     data.filter($"kind" === 2)
       .agg(sum($"numDocs").as("docCount"), sum($"sumDoclen").as("sumTotalTermFreq"))
@@ -292,9 +306,7 @@ object IndexBuilder {
                                           version: Int = 0): Unit = {
     import spark.implicits._
     val data = spark.read.parquet(s"$dir/data")
-    data.filter($"kind" === 1)
-      .groupBy($"term")
-      .agg(sum($"df").cast("long").as("df"), sum($"ttf").as("ttf"))
+    termStatsFrame(data)
       .write.mode("overwrite").parquet(statsPath(dir, "term_stats", version))
     data.filter($"kind" === 0)
       .agg(count(lit(1)).as("docCount"), sum($"doclen").cast("long").as("sumTotalTermFreq"))
@@ -598,6 +610,13 @@ final class InvertedIndex private (
   }
 
   @transient @volatile private var warmStats: Map[String, (Long, Long)] = null
+  @transient @volatile private var warmFronts: Map[String, (Array[Int], Array[Byte])] = null
+
+  /** Whether `term_stats` carries the merged per-term impact frontier
+    * ([[ImpactFrontier]]) — indexes built before the frontier columns
+    * existed fall back to a per-query metadata job for max score bounds. */
+  @transient lazy val hasImpactStats: Boolean =
+    termStats.columns.contains("impFreqs")
 
   /** Serving mode: pin the postings and statistics views in cluster cache
     * (compressed columnar) and materialize them — the analog of a
@@ -607,20 +626,33 @@ final class InvertedIndex private (
     * The term dictionary additionally becomes driver-resident when it is
     * small enough (Zipf vocabularies are tiny relative to postings): that
     * removes the per-query term-stats lookup JOB entirely — the
-    * `TermStates.build` of a warm reader is a RAM lookup, not an IO. */
+    * `TermStates.build` of a warm reader is a RAM lookup, not an IO. The
+    * impact frontiers ride along, so per-term max score bounds are RAM
+    * lookups too (the pruned paths' pass-2 tau needs no metadata job). */
   def warm(): this.type = {
     postings.cache(); termStats.cache(); docs.cache()
     postings.count(); docs.count()
     val n = termStats.count()
     if (n <= 2000000L) {
-      warmStats = termStats.select("term", "df", "ttf").collect()
-        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      if (hasImpactStats) {
+        val rows = termStats.select("term", "df", "ttf", "impFreqs", "impDlbs").collect()
+        warmStats = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        warmFronts = rows.map(r => r.getString(0) ->
+          (r.getSeq[Int](3).toArray, r.getAs[Array[Byte]](4))).toMap
+      } else {
+        warmStats = termStats.select("term", "df", "ttf").collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      }
     }
     this
   }
 
   /** Driver-resident term dictionary when [[warm]]ed (term → (df, ttf)). */
   def warmTermStats: Option[Map[String, (Long, Long)]] = Option(warmStats)
+
+  /** Driver-resident impact frontiers when [[warm]]ed on a frontier-bearing
+    * index (term → (impFreqs, impDlbs)). */
+  def warmFrontiers: Option[Map[String, (Array[Int], Array[Byte])]] = Option(warmFronts)
 }
 
 object InvertedIndex {

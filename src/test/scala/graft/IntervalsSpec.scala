@@ -167,6 +167,62 @@ class IntervalsSpec extends AnyFunSuite {
     }
   }
 
+  test("requiredTerms: conjunctive terms required; Or branches and negative sides not") {
+    assert(requiredTerms(Ordered(Seq(Term("a"), Term("b")))) == Set("a", "b"))
+    assert(requiredTerms(Unordered(Seq(Term("a"), Term("b")))) == Set("a", "b"))
+    assert(requiredTerms(Or(Seq(Term("a"), Term("b")))) == Set.empty)
+    // a term required by EVERY Or branch is required
+    assert(requiredTerms(Or(Seq(Phrase(Seq("a", "b")), Ordered(Seq(Term("a"), Term("c")))))) == Set("a"))
+    // subtractive combinators: only the positive side is required
+    assert(requiredTerms(NotContaining(Term("a"), Term("x"))) == Set("a"))
+    assert(requiredTerms(NotContainedBy(Term("a"), Term("x"))) == Set("a"))
+    assert(requiredTerms(NonOverlapping(Term("a"), Term("x"))) == Set("a"))
+    assert(requiredTerms(Containing(Term("a"), Term("b"))) == Set("a", "b"))
+    assert(requiredTerms(Before(Term("a"), Term("r"))) == Set("a", "r"))
+    assert(requiredTerms(MaxWidth(3, Extend(Term("a"), 1, 1))) == Set("a"))
+    // atLeast(2 of 3 distinct terms): no single term gates the match
+    assert(requiredTerms(atLeast(2, Term("a"), Term("b"), Term("c"))) == Set.empty)
+    // ...but a term required by MORE than (m − n) children is in every n-subset
+    assert(requiredTerms(AtLeast(2, Seq(Phrase(Seq("a", "x")), Phrase(Seq("a", "y")),
+      Phrase(Seq("a", "z"))))) == Set("a"))
+    assert(requiredTerms(atLeast(3, Term("a"), Term("b"), Term("c"))) == Set("a", "b", "c"))
+    assert(requiredTerms(Prefix("qu")) == Set.empty)
+  }
+
+  test("segment matcher leapfrogs: head-term blocks outside the rarest required term's range never decode") {
+    import graft.core.PostingsCodec
+    import graft.search.IntervalSegment
+    // head term "the" in every doc 0..4095 (32 blocks of 128); rare term
+    // "zebra" in two docs of the LAST block only
+    val n = 4096
+    val byTerm = Map(
+      "the" -> PostingsCodec.encodeBlocks(Array.tabulate(n)(_.toLong),
+        Array.fill(n)(1), Array.fill(n)(100), Array.fill(n)(Array(5))),
+      "zebra" -> PostingsCodec.encodeBlocks(Array[Long](4000, 4090),
+        Array(1, 1), Array(100, 100), Array(Array(6), Array(99))))
+    val totalBlocks = byTerm.values.map(_.size).sum
+    assert(totalBlocks == 33)
+    val src = Ordered(Seq(Term("the"), Term("zebra")))
+    var decodes = 0
+    val got = IntervalSegment.matchingDocs(src, requiredTerms(src), byTerm,
+      onDecode = () => decodes += 1).toVector
+    assert(got == Vector(4000L, 4090L))
+    // 1 zebra block (the lead) + 1 overlapping "the" block; the other 31
+    // "the" blocks are skipped undecoded
+    assert(decodes == 2, s"decoded $decodes of $totalBlocks blocks (expected 2)")
+    // an un-gated Or over the same terms must decode everything
+    var all = 0
+    val orSrc = Or(Seq(Term("the"), Term("zebra")))
+    IntervalSegment.matchingDocs(orSrc, requiredTerms(orSrc), byTerm,
+      onDecode = () => all += 1).length
+    assert(all == totalBlocks)
+    // a required term absent from the segment short-circuits: zero decodes
+    var none = 0
+    assert(IntervalSegment.matchingDocs(Ordered(Seq(Term("the"), Term("missing"))),
+      Set("the", "missing"), byTerm, onDecode = () => none += 1).isEmpty)
+    assert(none == 0)
+  }
+
   test("minimality: no returned interval properly contains another") {
     val rnd = new Random(23)
     (0 until 500).foreach { _ =>
