@@ -29,5 +29,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 12g measured: headroom for 32 flush buffers + Tungsten write-sort; a 32g heap makes 32-thread runs ~7x slower (G1
   // young-gen pathology at large heaps on this kernel); see BASELINE.md §3
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // pin + pre-touch the heap and keep it committed (ParallelGC never
+  // uncommits): without this the heap shrinks between bench phases and the
+  // 32-thread build's allocation storm re-faults pages while the box is
+  // fragmented — kernel compaction charged as task CPU made n32 runs
+  // bimodal (52 s vs 642 s on identical code; BENCH_r03 evidence_n32
+  // task-CPU 19x n2's at identical bytes_written)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:+UseParallelGC",
 ) ++ sys.env.get("SPARK_EXTRA_JVM_FLAGS").toSeq.flatMap(_.split("\\s+").toSeq
 )
