@@ -232,6 +232,34 @@ object Indexes {
       IndexBuilder.build(docs, dir, IndexConfig(NorwegianAnalyzer(), withPositions = true))
     })
 
+  /** `doc_id % 7` shards through the five Snowball-family chains
+    * ([[graft.core.DanishAnalyzer]] / [[graft.core.DutchAnalyzer]] /
+    * [[graft.core.RomanianAnalyzer]] / [[graft.core.TurkishAnalyzer]] /
+    * [[graft.core.GreekAnalyzer]]), each stemmer pinned to the reference
+    * implementation's output over a generated vocabulary by SnowballSpec. */
+  private def snowballShard(spark: SparkSession, sfDir: String, tag: String,
+      mod: Int, analyzer: graft.core.Analyzer): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#" + tag, {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-index-$tag-").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 7 === mod)
+        .select(col("doc_id").as("docId"), col("text"))
+        .as[InputDoc]
+      IndexBuilder.build(docs, dir, IndexConfig(analyzer, withPositions = true))
+    })
+
+  def danishIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "da", 1, DanishAnalyzer())
+  def dutchIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "nl", 2, DutchAnalyzer())
+  def romanianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "ro", 3, RomanianAnalyzer())
+  def turkishIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "tr", 4, TurkishAnalyzer())
+  def greekIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "el", 5, GreekAnalyzer())
+
   /** The `lang='zh'` corpus slice indexed through the CJK chain
     * ([[graft.core.CjkAnalyzer]]: tokenize → width fold → lowercase → CJK
     * bigrams → stop, reference `CJKAnalyzer` composition). The synthetic zh
@@ -922,6 +950,47 @@ object SparkEntry {
       // plans produce identical rows, so one oracle gates whichever fires
       topk(Indexes.searcher(s, dir).scored(
         IndexOrDocValuesQuery(TermQuery("spark"), PrefixQuery("st"))), 10)
+    }),
+    "q106_danish_stem" -> ((s, dir) => {
+      // Danish snowball chain on the doc_id % 7 = 1 shard: 'table' → final-e
+      // drop → 'tabl'; stemmer pinned to the reference DanishStemmer by
+      // SnowballSpec (8k generated vectors), corpus stems reference-derived
+      topk(new Searcher(Indexes.danishIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("tabl")), 10)
+    }),
+    "q107_dutch_stem" -> ((s, dir) => {
+      // Dutch snowball chain (with the analyzer's stem-override dict) on the
+      // doc_id % 7 = 2 shard: 'table' → e-ending → 'tabl'
+      topk(new Searcher(Indexes.dutchIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("tabl")), 10)
+    }),
+    "q108_romanian_stem" -> ((s, dir) => {
+      // Romanian snowball chain (cedilla→comma normalization ahead of the
+      // stemmer) on the doc_id % 7 = 3 shard: 'data' → vowel suffix → 'dat'
+      topk(new Searcher(Indexes.romanianIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("dat")), 10)
+    }),
+    "q109_turkish_stem" -> ((s, dir) => {
+      // Turkish snowball chain (apostrophe strip + Turkish-locale lowercase)
+      // on the doc_id % 7 = 4 shard: 'data' → yA suffix → 'da'
+      topk(new Searcher(Indexes.turkishIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("da")), 10)
+    }),
+    "q111_bm25f_multi" -> ((s, dir) => {
+      // Multi-term CombinedFieldQuery: freq = Σ_{field,term} w_f·tf, one
+      // merged norm, ONE pseudo-term BM25 whose df = max over (field, term)
+      // pairs (CombinedFieldQuery.java:309-328)
+      topk(MultiField.combinedField(
+        Seq(Indexes.titleIndex(s, dir) -> 2.0, Indexes.documentsIndex(s, dir) -> 1.0),
+        Seq("spark", "query"), 1.2, 0.75), 10)
+    }),
+    "q110_greek_stem" -> ((s, dir) => {
+      // Greek chain on the doc_id % 7 = 5 shard. On ASCII text the stemmer's
+      // Greek-script rules are identity, so the oracle replays tokenize+stop
+      // (the CJK-gate pattern); the stemmer itself is pinned by SnowballSpec
+      // over 39k generated Greek vectors
+      topk(new Searcher(Indexes.greekIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("spark")), 10)
     })
   ) ++ graft.pipeline.PipelineQueries.queries
 
@@ -971,6 +1040,56 @@ object SparkEntry {
     Analyzers.PortugueseStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
 
   /** SQL literal lists of the Swedish / Norwegian stop sets (q92/q93). */
+  /** Oracle chain for the Snowball-family gates: tokenize → stop → a
+    * reference-derived (word → stem) mapping over the corpus's CLOSED
+    * 31-word vocabulary (stems computed by running the reference's own
+    * stemmer implementations over the vocabulary — an independent anchor;
+    * the full algorithms are pinned by SnowballSpec's generated vectors),
+    * then the shared BM25 scoring CTEs. */
+  private def snowballChainSql(mod: Int, stopList: String,
+      mapping: Map[String, String], queryStem: String): String = {
+    val caseExpr =
+      if (mapping.isEmpty) "term"
+      else "CASE term " +
+        mapping.toSeq.sorted.map { case (w, st) => s"WHEN '$w' THEN '$st'" }.mkString(" ") +
+        " ELSE term END"
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+       |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+       |  FROM documents WHERE doc_id % 7 = $mod
+       |), toks0 AS (
+       |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+       |  FROM raw WHERE term <> ''
+       |), toks AS (
+       |  SELECT doc_id, $caseExpr AS term, pos
+       |  FROM toks0 WHERE term NOT IN ($stopList)
+       |), quant(q) AS (
+       |  SELECT * FROM (VALUES $QuantValues)
+       |), dl0 AS (
+       |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+       |), dl AS (
+       |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
+       |), stats AS (
+       |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 7 = $mod) AS n,
+       |         (SELECT sum(dl) FROM dl0)::DOUBLE
+       |           / (SELECT count(*) FROM documents WHERE doc_id % 7 = $mod) AS avgdl
+       |)
+       |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql(queryStem)}) scored
+       |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  private val DanishStopList: String =
+    SnowballAnalyzers.DanishStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val DutchStopList: String =
+    SnowballAnalyzers.DutchStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val RomanianStopList: String =
+    SnowballAnalyzers.RomanianStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val TurkishStopList: String =
+    SnowballAnalyzers.TurkishStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val GreekStopList: String =
+    SnowballAnalyzers.GreekStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+
   private val SwedishStopList: String =
     Analyzers.SwedishStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
   private val NorwegianStopList: String =
@@ -2279,6 +2398,59 @@ object SparkEntry {
     // set — plan choice is an engine-side optimization, results identical
     "q79_index_or_dv" -> topkSql(
       s"""SELECT a.doc_id, a.score FROM (${termScoreSql("spark")}) a
-         |WHERE a.doc_id IN (SELECT doc_id FROM toks WHERE term LIKE 'st%')""".stripMargin, 10)
+         |WHERE a.doc_id IN (SELECT doc_id FROM toks WHERE term LIKE 'st%')""".stripMargin, 10),
+    // Snowball-family chains on doc_id % 7 shards: reference-derived corpus
+    // stem mappings (see snowballChainSql); full stemmers pinned by
+    // SnowballSpec's generated reference vectors
+    "q106_danish_stem" -> snowballChainSql(1, DanishStopList, Map(
+      "customer" -> "custom", "filter" -> "filt", "line" -> "lin",
+      "merge" -> "merg", "order" -> "ord", "small" -> "smal",
+      "table" -> "tabl", "value" -> "valu"), "tabl"),
+    "q107_dutch_stem" -> snowballChainSql(2, DutchStopList, Map(
+      "line" -> "lin", "merge" -> "merg", "table" -> "tabl"), "tabl"),
+    "q108_romanian_stem" -> snowballChainSql(3, RomanianStopList, Map(
+      "data" -> "dat", "line" -> "lin", "table" -> "tabl",
+      "value" -> "valu"), "dat"),
+    "q109_turkish_stem" -> snowballChainSql(4, TurkishStopList, Map(
+      "data" -> "da", "line" -> "l"), "da"),
+    "q110_greek_stem" -> snowballChainSql(5, GreekStopList, Map.empty, "spark"),
+
+    // multi-term BM25F: summed weighted tfs over (field, term) pairs, one
+    // merged norm, one pseudo-term idf with df = max over the pairs
+    "q111_bm25f_multi" ->
+      s"""$CTE, ttl AS (
+         |  SELECT doc_id, count(*) AS tlen,
+         |         count(*) FILTER (term = 'spark') AS tf_t1,
+         |         count(*) FILTER (term = 'query') AS tf_t2
+         |  FROM toks WHERE pos < 5 GROUP BY doc_id
+         |), bdy AS (
+         |  SELECT doc_id, count(*) AS blen,
+         |         count(*) FILTER (term = 'spark') AS tf_b1,
+         |         count(*) FILTER (term = 'query') AS tf_b2
+         |  FROM toks GROUP BY doc_id
+         |), cavg AS (
+         |  SELECT (2.0 * (SELECT sum(tlen) FROM ttl) + 1.0 * (SELECT sum(blen) FROM bdy))
+         |         / (SELECT n FROM stats) AS avgdl
+         |), pdf AS (
+         |  SELECT greatest(
+         |    (SELECT count(DISTINCT doc_id) FROM toks WHERE pos < 5 AND term = 'spark'),
+         |    (SELECT count(DISTINCT doc_id) FROM toks WHERE pos < 5 AND term = 'query'),
+         |    (SELECT count(DISTINCT doc_id) FROM toks WHERE term = 'spark'),
+         |    (SELECT count(DISTINCT doc_id) FROM toks WHERE term = 'query')) AS dfv
+         |), cf AS (
+         |  SELECT b.doc_id,
+         |         2.0 * (coalesce(t.tf_t1, 0) + coalesce(t.tf_t2, 0))
+         |           + 1.0 * (b.tf_b1 + b.tf_b2) AS freq,
+         |         2.0 * coalesce(t.tlen, 0) + 1.0 * b.blen AS dl
+         |  FROM bdy b LEFT JOIN ttl t ON b.doc_id = t.doc_id
+         |  WHERE 2.0 * (coalesce(t.tf_t1, 0) + coalesce(t.tf_t2, 0))
+         |           + 1.0 * (b.tf_b1 + b.tf_b2) > 0
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id,
+         |    ${idfSql("(SELECT dfv FROM pdf)")}
+         |    * (freq / (freq + 1.2 * (1 - 0.75 + 0.75 * dl / (SELECT avgdl FROM cavg)))) AS score
+         |  FROM cf
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
   ) ++ graft.pipeline.PipelineQueries.oracleSql
 }

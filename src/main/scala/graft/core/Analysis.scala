@@ -203,6 +203,11 @@ object Analyzers {
     case "indonesian"     => IndonesianAnalyzer()
     case "indonesian-inflectional" => IndonesianAnalyzer(stemDerivational = false)
     case "czech"          => CzechAnalyzer()
+    case "danish"         => DanishAnalyzer()
+    case "dutch"          => DutchAnalyzer()
+    case "romanian"       => RomanianAnalyzer()
+    case "turkish"        => TurkishAnalyzer()
+    case "greek"          => GreekAnalyzer()
     case "folding"        => AsciiFoldingAnalyzer()
     case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
       ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)

@@ -48,21 +48,45 @@ object MultiField {
   private def idf(docCount: Long, df: Long): Double =
     math.log(1 + (docCount - df + 0.5) / (df + 0.5))
 
-  /** BM25F: one blended-pseudo-field BM25 score per doc.
+  /** BM25F over a TERM SET: one blended-pseudo-field BM25 score per doc,
+    * the reference's multi-term `CombinedFieldQuery` model
+    * (`CombinedFieldQuery.java:309-328,405-440`): per-doc
+    * `freq = Σ_{field,term} w_f·tf`, one merged norm `dl = Σ_f w_f·len_f`,
+    * and ONE pseudo-term similarity whose `docFreq` is the MAX over every
+    * (field, term) pair — a single BM25 evaluation per doc, exactly the
+    * `CombinedFieldScorer` + `MultiNormsLeafSimScorer` composition.
     *
     * @param fields (field index, field weight); all indexes over the same doc
     *               set (docCount from the widest)
     */
-  def combinedField(fields: Seq[(InvertedIndex, Double)], term: String,
-                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(fields.nonEmpty)
+  def combinedField(fields: Seq[(InvertedIndex, Double)], terms: Seq[String],
+                    k1: Double, b: Double): DataFrame = {
+    require(fields.nonEmpty && terms.nonEmpty)
+    val distinctTerms = terms.distinct
     val docCount = fields.map(_._1.collectionStats.docCount).max
     // blended average length: Σ_f w_f · sumTTF_f / docCount
     val avgdl = fields.map { case (ix, w) => w * ix.collectionStats.sumTotalTermFreq }.sum / docCount
-    val perField = fields.map { case (ix, w) =>
-      termHits(ix, term).select(col("docId"), (col("freq") * lit(w)).as("wfreq"))
+    // pseudo-term docFreq = max df over (field, term) pairs
+    // (`CombinedFieldQuery.java:319`): RAM lookup on warm dictionaries,
+    // otherwise a 1-row in-plan aggregate (no driver round-trip)
+    val dfFrame: DataFrame =
+      if (fields.forall(_._1.warmTermStats.isDefined)) {
+        val d = fields.flatMap { case (ix, _) =>
+          distinctTerms.map(t => ix.warmTermStats.get.get(t).map(_._1).getOrElse(0L))
+        }.max
+        fields.head._1.spark.range(1).select(lit(d.toDouble).as("dfv"))
+      } else {
+        fields.map { case (ix, _) =>
+          ix.termStats.filter(col("term").isin(distinctTerms: _*))
+            .agg(max(col("df")).as("m"))
+        }.reduce(_ unionAll _)
+          .agg(max(coalesce(col("m"), lit(0L))).cast("double").as("dfv"))
+      }
+    val perPair = fields.flatMap { case (ix, w) =>
+      distinctTerms.map(t =>
+        termHits(ix, t).select(col("docId"), (col("freq") * lit(w)).as("wfreq")))
     }
-    val freqs = perField.reduce(_ unionAll _)
+    val freqs = perPair.reduce(_ unionAll _)
       .groupBy("docId").agg(sum("wfreq").as("freq"))
     // The pseudo-field length sums ALL fields' weighted lengths — including
     // fields where the term did not match (the merged-norm semantics of
@@ -75,9 +99,6 @@ object MultiField {
     }
     val dlExpr = fields.indices.map(i => coalesce(col(s"wdl$i"), lit(0.0))).reduce(_ + _)
     val union = withDl.select(col("docId"), col("freq"), dlExpr.as("dl"))
-    // df of the pseudo-field = docs matching in ANY field, computed IN the
-    // plan (a broadcast scalar, no separate driver-side count job)
-    val dfFrame = union.agg(count(lit(1)).cast("double").as("dfv"))
     val idfCol = log(lit(1.0) +
       (lit(docCount.toDouble) - col("dfv") + lit(0.5)) / (col("dfv") + lit(0.5)))
     union.crossJoin(broadcast(dfFrame))
@@ -85,6 +106,11 @@ object MultiField {
         (idfCol * (col("freq") / (col("freq") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))))
           .as("score"))
   }
+
+  /** Single-term BM25F (the multi-term model with one term). */
+  def combinedField(fields: Seq[(InvertedIndex, Double)], term: String,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    combinedField(fields, Seq(term), k1, b)
 
   /** BlendedTermQuery: per-field BM25 with blended (max) document frequency,
     * scores summed across fields. */
