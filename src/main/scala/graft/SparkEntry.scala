@@ -976,6 +976,12 @@ object SparkEntry {
       topk(new Searcher(Indexes.turkishIndex(s, dir), ScoringMode.PreciseBM25())
         .scored(TermQuery("da")), 10)
     }),
+    "q112_scored_prefix" -> ((s, dir) => {
+      // TopTermsScoringBooleanQueryRewrite analog: top-4 's*' dictionary
+      // terms by df become a SHOULD boolean of BM25 term queries, each with
+      // its own statistics (MultiTermQuery.java:38-83, TopTermsRewrite.java:36)
+      topk(Indexes.searcher(s, dir).scored(ScoredPrefixQuery("s", 4)), 10)
+    }),
     "q111_bm25f_multi" -> ((s, dir) => {
       // Multi-term CombinedFieldQuery: freq = Σ_{field,term} w_f·tf, one
       // merged norm, ONE pseudo-term BM25 whose df = max over (field, term)
@@ -2451,6 +2457,29 @@ object SparkEntry {
          |    ${idfSql("(SELECT dfv FROM pdf)")}
          |    * (freq / (freq + 1.2 * (1 - 0.75 + 0.75 * dl / (SELECT avgdl FROM cavg)))) AS score
          |  FROM cf
-         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+    // scored prefix rewrite: top-4 's*' terms by (df desc, term asc), each
+    // BM25-scored with its own df, summed per doc
+    "q112_scored_prefix" ->
+      s"""$CTE, expanded AS (
+         |  SELECT term FROM (
+         |    SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE term LIKE 's%'
+         |    GROUP BY term ORDER BY df DESC, term LIMIT 4
+         |  )
+         |), dfs AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |  WHERE term IN (SELECT term FROM expanded) GROUP BY term
+         |), per AS (
+         |  SELECT tf.doc_id,
+         |         ${idfSql("d.df")} * ${tfNormSql("tf.freq", "dl.dlq")} AS score
+         |  FROM (
+         |    SELECT doc_id, term, count(*) AS freq FROM toks
+         |    WHERE term IN (SELECT term FROM expanded) GROUP BY doc_id, term
+         |  ) tf
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  JOIN dfs d ON tf.term = d.term
+         |)
+         |SELECT doc_id, round(sum(score), 6) AS score FROM per
+         |GROUP BY doc_id ORDER BY 2 DESC, doc_id LIMIT 10""".stripMargin
   ) ++ graft.pipeline.PipelineQueries.oracleSql
 }

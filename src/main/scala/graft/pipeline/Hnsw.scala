@@ -27,10 +27,13 @@ final case class HnswNode(part: Int, id: Long, vec: Array[Float], level: Int,
   * and all tie-breaks prefer the smaller id — identical inputs give
   * identical graphs on every run and parallelism.
   *
-  * Divergence from the reference, both quantified in HnswSpec: neighbor
-  * selection is top-M by similarity (the reference adds a diversity
-  * heuristic, `HnswGraphBuilder.java` diversity check); recall is asserted
-  * against the exact brute-force oracle rather than being implicit.
+  * Neighbor selection uses the reference's diversity heuristic
+  * (`HnswGraphBuilder.java` `diversityCheck` on insert,
+  * `findWorstNonDiverse` on overflow) — the piece that preserves
+  * cross-cluster connectivity (and recall) on clustered data. Recall is
+  * asserted against the exact brute-force oracle in HnswSpec, including a
+  * clustered fixture where plain top-M-by-similarity selection loses the
+  * inter-cluster edges.
   */
 object Hnsw {
 
@@ -110,15 +113,46 @@ object Hnsw {
     results
   }
 
-  /** Prune a node's layer adjacency to its `mmax` most-similar neighbors. */
+  /** Diverse neighbor selection (`HnswGraphBuilder.selectAndLinkDiverse` /
+    * `diversityCheck`): walk candidates best-first, keep a candidate only if
+    * no already-kept neighbor is closer to it than the new node is —
+    * `sim(cand, kept) ≥ sim(cand, node)` disqualifies. This is what
+    * preserves cross-cluster edges (and recall) on clustered data. */
+  private def selectDiverse(g: LocalGraph, q: Array[Float],
+      cands: collection.Seq[(Int, Double)], max: Int): mutable.ArrayBuffer[Int] = {
+    val out = mutable.ArrayBuffer.empty[Int]
+    val it = cands.iterator
+    while (out.length < max && it.hasNext) {
+      val (c, simToNode) = it.next()
+      val diverse = out.forall(s => cosSim(g.vecs(c), g.vecs(s)) < simToNode)
+      if (diverse) out += c
+    }
+    out
+  }
+
+  /** Overflow prune (`HnswGraphBuilder.findWorstNonDiverse`): drop the WORST
+    * neighbor that is dominated by a better one (some better neighbor closer
+    * to it than the node is); if every neighbor is diverse, drop the overall
+    * worst. One removal per overflow, like the reference. */
   private def prune(g: LocalGraph, node: Int, layer: Int, mmax: Int): Unit = {
     val a = g.adj(node)(layer)
-    if (a.length > mmax) {
-      val kept = a.map(j => (j, cosSim(g.vecs(node), g.vecs(j))))
-        .sortWith((x, y) => better(x._2, g.ids(x._1), y._2, g.ids(y._1)))
-        .take(mmax).map(_._1)
-      a.clear(); a ++= kept
+    if (a.length <= mmax) return
+    val scored = a.map(j => (j, cosSim(g.vecs(node), g.vecs(j))))
+      .sortWith((x, y) => better(x._2, g.ids(x._1), y._2, g.ids(y._1)))
+    var removeIdx = scored.length - 1
+    var i = scored.length - 1
+    var found = false
+    while (!found && i > 0) {
+      val (w, ws) = scored(i)
+      var b = 0
+      while (!found && b < i) {
+        if (cosSim(g.vecs(w), g.vecs(scored(b)._1)) >= ws) { removeIdx = i; found = true }
+        b += 1
+      }
+      i -= 1
     }
+    val kept = scored.indices.filter(_ != removeIdx).map(scored(_)._1)
+    a.clear(); a ++= kept
   }
 
   /** Sequential insert build (paper alg. 1), one call per partition. */
@@ -144,7 +178,7 @@ object Hnsw {
         while (lc >= 0) {
           val cands = searchLayer(g, q, eps, efC, lc)
           val mmax = if (lc == 0) 2 * m else m
-          cands.take(m).foreach { case (j, _) =>
+          selectDiverse(g, q, cands, m).foreach { j =>
             g.adj(i)(lc) += j
             g.adj(j)(lc) += i
             prune(g, j, lc, mmax)

@@ -65,6 +65,18 @@ final case class FuzzyQuery(term: String, maxEdits: Int = 2) extends Query
 final case class ScoredFuzzyQuery(term: String, maxEdits: Int = 2,
                                   maxExpansions: Int = 50) extends Query
 
+/** SCORED prefix expansion — `PrefixQuery` under the reference's
+  * `TopTermsScoringBooleanQueryRewrite` (`MultiTermQuery.java:38-83`,
+  * `TopTermsRewrite.java:36`): the top `maxExpansions` matching terms by
+  * docFreq become a SHOULD boolean of BM25-scored term queries, each with
+  * its OWN statistics (no blending — that is the boolean-rewrite contract).
+  * [[PrefixQuery]] stays the CONSTANT_SCORE default. */
+final case class ScoredPrefixQuery(prefix: String, maxExpansions: Int = 50) extends Query
+
+/** SCORED wildcard expansion — `WildcardQuery` under
+  * `TopTermsScoringBooleanQueryRewrite`, like [[ScoredPrefixQuery]]. */
+final case class ScoredWildcardQuery(pattern: String, maxExpansions: Int = 50) extends Query
+
 /** Terms matching a regular expression. Reference:
   * `lucene/core/src/java/org/apache/lucene/search/RegexpQuery.java:44`. */
 final case class RegexpQuery(pattern: String) extends Query

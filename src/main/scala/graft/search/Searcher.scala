@@ -1227,6 +1227,27 @@ final class Searcher(
     disjunction(frames, 1)
   }
 
+  /** Scored prefix/wildcard expansion — the reference's
+    * `TopTermsScoringBooleanQueryRewrite` (`MultiTermQuery.java:38-83`,
+    * `TopTermsRewrite.java:36`): the top `maxExpansions` matching dictionary
+    * terms by docFreq (term-asc tiebreak) rewrite to a SHOULD boolean of
+    * plain BM25 term queries, each keeping its OWN statistics — unlike the
+    * fuzzy rewrite there is no df blending. ONE ranked dictionary scan
+    * (pushed predicate where the format allows), ≤ N rows collected. */
+  private def scoredExpansionFrame(pred: org.apache.spark.sql.Column,
+                                   maxExpansions: Int, boost: Double): DataFrame = {
+    val top: Array[(String, Long, Long)] = index.termStats
+      .filter(pred)
+      .orderBy(desc("df"), asc("term")).limit(maxExpansions)
+      .select("term", "df", "ttf")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    if (top.isEmpty) return emptyFrame
+    val frames = top.toSeq.map { case (t, df, ttf) =>
+      decodeScored(blocksOf(t), termScorer(TermStats(df, ttf), boost))
+    }
+    disjunction(frames, 1)
+  }
+
   /** Plain Levenshtein distance (driver-side, for the per-term boost). */
   private def editDistance(a: String, b: String): Int = {
     val prev = new Array[Int](b.length + 1)
@@ -1326,6 +1347,15 @@ final class Searcher(
     case q: TermInSetQuery => expansionFrame(expansionPred(q), boost)
     case q: FuzzyQuery => expansionFrame(expansionPred(q), boost, dictFirst = true)
     case ScoredFuzzyQuery(t, e, n) => scoredFuzzyFrame(t, e, n, boost)
+    case ScoredPrefixQuery(p, n) =>
+      scoredExpansionFrame(expansionPred(PrefixQuery(p)), n, boost)
+    case ScoredWildcardQuery(p, n) =>
+      // lower the glob exactly like the constant-score path (prefix when
+      // trailing-star-only, regexp otherwise), then rank-expand
+      QueryRewriter.rewrite(WildcardQuery(p)) match {
+        case t: TermQuery => compile(t, stats, boost)
+        case lowered => scoredExpansionFrame(expansionPred(lowered), n, boost)
+      }
     case q: RegexpQuery => expansionFrame(expansionPred(q), boost, dictFirst = true)
     case w: WildcardQuery => compile(QueryRewriter.rewrite(w), stats, boost)
     case BoostQuery(inner, b) => compile(inner, stats, boost * b)

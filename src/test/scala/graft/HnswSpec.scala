@@ -59,6 +59,38 @@ class HnswSpec extends AnyFunSuite {
     assert(recalls.min >= 0.7, s"worst recall ${recalls.min}")
   }
 
+  test("diverse neighbor selection keeps recall on CLUSTERED vectors at default M/efSearch") {
+    // 4 tight, well-separated clusters: plain top-M-by-similarity selection
+    // links only within a cluster and greedy search cannot escape the entry
+    // cluster; the reference's diversity heuristic preserves the
+    // cross-cluster edges. Deterministic fixture, one graph (numParts = 1).
+    import spark.implicits._
+    val dim = 8
+    def noise(id: Long, d: Int): Float = {
+      var z = id * 31 + d + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = z ^ (z >>> 27)
+      (((z >>> 11).toDouble / (1L << 53).toDouble) - 0.5).toFloat * 0.4f
+    }
+    val rows = (0L until 400L).map { id =>
+      val cluster = (id % 4).toInt
+      val v = Array.tabulate(dim)(d => (if (d == cluster * 2) 10.0f else 0.0f) + noise(id, d))
+      (id, v)
+    }
+    val cemb = rows.toDF("vec_id", "embedding")
+    val cgraph = Hnsw.build(cemb, "vec_id", "embedding",
+      m = 8, efConstruction = 64, numParts = 1)
+    val recalls = Seq(2L, 5L, 11L, 16L).map { q => // one query per cluster
+      val exact = Ann.bruteForceTopK(cemb, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val got = Hnsw.topKForId(cemb, cgraph, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(got).size / 10.0
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.9, s"clustered avg recall $avg (per-query: $recalls)")
+  }
+
   test("per-segment merge: result is the rank-merge of per-graph candidates") {
     val q = emb.filter(col("vec_id") === 3L).select(col("embedding"))
       .head().getSeq[Float](0).toArray
