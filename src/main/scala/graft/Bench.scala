@@ -80,7 +80,29 @@ object Bench {
     }
   }
 
-  /** Full build incl. merge at `cores`; returns (wall seconds, evidence json,
+  /** Full build incl. merge at `cores`, repeated `SPARK_GRAFT_BUILD_REPS`
+    * times (default 2) taking the MIN wall — per-point noise reduction for
+    * the scaling ratio: this box throttles per-core throughput in windows
+    * (BASELINE.md §3: n8 task-CPU-seconds swing up to 2x at identical bytes
+    * written), noise only ever ADDS time, and a throttle window rarely spans
+    * both reps of the same point. Every rep's wall is reported in the
+    * point's evidence (`walls`), so the JSON shows the spread, not just the
+    * chosen value. Returns (min wall, evidence json of the min rep, merged
+    * dir of the last rep). */
+  private def timedBuild(cores: Int, nDocs: Long, p: PageGen.Params,
+                         keep: Boolean = false): (Double, String, String) = {
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BUILD_REPS", "2").toInt)
+    val results = (1 to reps).map { r =>
+      timedBuildOnce(cores, nDocs, p, keep = keep && r == reps)
+    }
+    val walls = results.map(_._1)
+    val best = walls.indexOf(walls.min)
+    val evidence = results(best)._2 +
+      s""","walls":[${walls.map(w => f"$w%.1f").mkString(",")}]"""
+    (walls.min, evidence, results.last._3)
+  }
+
+  /** One build+merge at `cores`; returns (wall seconds, evidence json,
     * merged dir).
     *
     * The JOB is identical across core counts — 64 input partitions, 64
@@ -90,8 +112,8 @@ object Bench {
     *
     * Deletes its work dirs unless `keep` (the per-round driver disk is
     * finite). */
-  private def timedBuild(cores: Int, nDocs: Long, p: PageGen.Params,
-                         keep: Boolean = false): (Double, String, String) = {
+  private def timedBuildOnce(cores: Int, nDocs: Long, p: PageGen.Params,
+                             keep: Boolean = false): (Double, String, String) = {
     val spark = session(cores, shufflePartitions = 64, smallScanBatch = true)
     val probe = new TaskProbe(spark)
     val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-n$cores-").toString
@@ -169,7 +191,7 @@ object Bench {
       // bandwidth) exercises. The 8-vs-32 pair is also reported; it is
       // hardware-ceiling-bound on shared silicon (per-core CPU throughput
       // halves at 32 threads; see BASELINE.md §3 analysis).
-      timedBuild(8, 2000, p) // JVM warmup: classloading + codegen, untimed
+      timedBuildOnce(8, 2000, p) // JVM warmup: classloading + codegen, untimed
       val (sec2, ev2, _) = timedBuild(2, benchDocs, p)
       val (secN, evN, _) = timedBuild(8, benchDocs, p)
       val (sec4N, ev4N, mergedDir) = timedBuild(32, benchDocs, p, keep = true)

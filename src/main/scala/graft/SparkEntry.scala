@@ -238,12 +238,12 @@ object Indexes {
     * [[graft.core.GreekAnalyzer]]), each stemmer pinned to the reference
     * implementation's output over a generated vocabulary by SnowballSpec. */
   private def snowballShard(spark: SparkSession, sfDir: String, tag: String,
-      mod: Int, analyzer: graft.core.Analyzer): InvertedIndex =
+      mod: Int, analyzer: graft.core.Analyzer, divisor: Int = 7): InvertedIndex =
     cache.getOrElseUpdate(sfDir + "#" + tag, {
       import spark.implicits._
       val dir = java.nio.file.Files.createTempDirectory(s"graft-index-$tag-").toString
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        .filter(col("doc_id") % 7 === mod)
+        .filter(col("doc_id") % divisor === mod)
         .select(col("doc_id").as("docId"), col("text"))
         .as[InputDoc]
       IndexBuilder.build(docs, dir, IndexConfig(analyzer, withPositions = true))
@@ -259,6 +259,14 @@ object Indexes {
     snowballShard(spark, sfDir, "tr", 4, TurkishAnalyzer())
   def greekIndex(spark: SparkSession, sfDir: String): InvertedIndex =
     snowballShard(spark, sfDir, "el", 5, GreekAnalyzer())
+  def bulgarianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "bg", 1, BulgarianAnalyzer(), divisor = 11)
+  def latvianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "lv", 2, LatvianAnalyzer(), divisor = 11)
+  def hindiIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "hi", 3, HindiAnalyzer(), divisor = 11)
+  def bengaliIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "bn", 4, BengaliAnalyzer(), divisor = 11)
 
   /** The `lang='zh'` corpus slice indexed through the CJK chain
     * ([[graft.core.CjkAnalyzer]]: tokenize → width fold → lowercase → CJK
@@ -976,6 +984,32 @@ object SparkEntry {
       topk(new Searcher(Indexes.turkishIndex(s, dir), ScoringMode.PreciseBM25())
         .scored(TermQuery("da")), 10)
     }),
+    "q113_bulgarian_stem" -> ((s, dir) => {
+      // Bulgarian chain on the doc_id % 11 = 1 shard; Cyrillic-suffix rules
+      // are identity on this ASCII slice (oracle = tokenize+stop, the CJK
+      // pattern); the stemmer is pinned by IndicSpec's reference vectors
+      topk(new Searcher(Indexes.bulgarianIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("spark")), 10)
+    }),
+    "q114_latvian_stem" -> ((s, dir) => {
+      // Latvian chain on the doc_id % 11 = 2 shard: 'table' → a-affix +
+      // no palatalization → 'tabl'; reference-derived corpus mapping
+      topk(new Searcher(Indexes.latvianIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("tabl")), 10)
+    }),
+    "q115_hindi_chain" -> ((s, dir) => {
+      // Hindi chain (digit fold + Indic + Hindi normalize + stem) on the
+      // doc_id % 11 = 3 shard; Devanagari rules are identity on ASCII —
+      // chain pinned by IndicSpec
+      topk(new Searcher(Indexes.hindiIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("spark")), 10)
+    }),
+    "q116_bengali_chain" -> ((s, dir) => {
+      // Bengali chain on the doc_id % 11 = 4 shard; same identity-on-ASCII
+      // oracle pattern, chain pinned by IndicSpec
+      topk(new Searcher(Indexes.bengaliIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("query")), 10)
+    }),
     "q112_scored_prefix" -> ((s, dir) => {
       // TopTermsScoringBooleanQueryRewrite analog: top-4 's*' dictionary
       // terms by df become a SHOULD boolean of BM25 term queries, each with
@@ -1053,7 +1087,7 @@ object SparkEntry {
     * the full algorithms are pinned by SnowballSpec's generated vectors),
     * then the shared BM25 scoring CTEs. */
   private def snowballChainSql(mod: Int, stopList: String,
-      mapping: Map[String, String], queryStem: String): String = {
+      mapping: Map[String, String], queryStem: String, divisor: Int = 7): String = {
     val caseExpr =
       if (mapping.isEmpty) "term"
       else "CASE term " +
@@ -1063,7 +1097,7 @@ object SparkEntry {
        |  SELECT doc_id,
        |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
        |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
-       |  FROM documents WHERE doc_id % 7 = $mod
+       |  FROM documents WHERE doc_id % $divisor = $mod
        |), toks0 AS (
        |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
        |  FROM raw WHERE term <> ''
@@ -1077,13 +1111,22 @@ object SparkEntry {
        |), dl AS (
        |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
        |), stats AS (
-       |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 7 = $mod) AS n,
+       |  SELECT (SELECT count(*) FROM documents WHERE doc_id % $divisor = $mod) AS n,
        |         (SELECT sum(dl) FROM dl0)::DOUBLE
-       |           / (SELECT count(*) FROM documents WHERE doc_id % 7 = $mod) AS avgdl
+       |           / (SELECT count(*) FROM documents WHERE doc_id % $divisor = $mod) AS avgdl
        |)
        |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql(queryStem)}) scored
        |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
   }
+
+  private val BulgarianStopList: String =
+    Analyzers.BulgarianStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val LatvianStopList: String =
+    Analyzers.LatvianStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val HindiStopList: String =
+    Analyzers.HindiStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val BengaliStopList: String =
+    Analyzers.BengaliStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
 
   private val DanishStopList: String =
     SnowballAnalyzers.DanishStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
@@ -2420,6 +2463,16 @@ object SparkEntry {
     "q109_turkish_stem" -> snowballChainSql(4, TurkishStopList, Map(
       "data" -> "da", "line" -> "l"), "da"),
     "q110_greek_stem" -> snowballChainSql(5, GreekStopList, Map.empty, "spark"),
+    "q113_bulgarian_stem" ->
+      snowballChainSql(1, BulgarianStopList, Map.empty, "spark", divisor = 11),
+    "q114_latvian_stem" -> snowballChainSql(2, LatvianStopList, Map(
+      "data" -> "dat", "line" -> "lin", "merge" -> "merg",
+      "stream" -> "stre", "table" -> "tabl", "value" -> "valu"),
+      "tabl", divisor = 11),
+    "q115_hindi_chain" ->
+      snowballChainSql(3, HindiStopList, Map.empty, "spark", divisor = 11),
+    "q116_bengali_chain" ->
+      snowballChainSql(4, BengaliStopList, Map.empty, "query", divisor = 11),
 
     // multi-term BM25F: summed weighted tfs over (field, term) pairs, one
     // merged norm, one pseudo-term idf with df = max over the pairs

@@ -180,6 +180,54 @@ object Analyzers {
     "that", "the", "their", "then", "there", "these", "they", "this", "to",
     "was", "will", "with", "www")
 
+  /** High-frequency subset of the reference's Bulgarian stop list
+    * (`bg/stopwords.txt`). */
+  val BulgarianStopWords: Set[String] = Set(
+    "а", "аз", "ако", "без", "беше", "би", "бил", "била", "било", "близо",
+    "в", "вас", "вече", "ви", "вие", "винаги", "все", "всеки", "всички",
+    "го", "да", "дали", "до", "е", "за", "и", "из", "или", "им", "има",
+    "какво", "като", "кога", "когато", "което", "който", "ли", "между",
+    "ме", "ми", "мога", "на", "над", "не", "него", "нея", "ние", "но",
+    "от", "по", "при", "с", "са", "се", "си", "след", "сме", "става",
+    "съм", "така", "там", "те", "ти", "то", "това", "той", "тя", "ще", "я")
+
+  /** High-frequency subset of the reference's Latvian stop list
+    * (`lv/stopwords.txt`). */
+  val LatvianStopWords: Set[String] = Set(
+    "aiz", "ap", "ar", "bez", "caur", "gar", "kopš", "labad", "līdz", "no",
+    "pa", "par", "pār", "pēc", "pie", "pirms", "pret", "starp", "uz",
+    "virs", "zem", "un", "bet", "jo", "ja", "ka", "lai", "tomēr", "tikko",
+    "turpretī", "arī", "kaut", "gan", "tādēļ", "tā", "ne", "tikvien",
+    "vien", "kā", "ir", "te", "vai", "kamēr", "ar?", "diezin", "droši",
+    "diemžēl", "nebūt", "ik", "it", "taču", "nu", "pat", "tiklab",
+    "nedz", "tik", "nevis", "turpretim", "jeb", "iekam", "iekām", "es",
+    "tu", "viņš", "viņa", "šis", "šī", "tas", "kas", "kurš", "kura",
+    "mans", "tavs", "savs", "būt", "biju", "bija", "būs", "esmu", "esi")
+
+  /** High-frequency subset of the reference's Hindi stop list
+    * (`hi/stopwords.txt` — matched AFTER normalization like the
+    * reference's filter order, so normalized spellings). */
+  val HindiStopWords: Set[String] = Set(
+    "अंदर", "अत", "अपना", "अपनि", "अपने", "अभि", "अभी", "आदि", "आप", "इन",
+    "इस", "इसका", "इसकि", "इसके", "इसमें", "इसि", "इसे", "उन", "उनका",
+    "उस", "एक", "एवं", "और", "कई", "कर", "करता", "करते", "करना", "करने",
+    "का", "कि", "किया", "किसि", "किसी", "की", "के", "को", "कोई", "कुछ",
+    "जो", "तक", "तब", "तो", "था", "थि", "थी", "थे", "दिया", "दो", "न",
+    "ना", "नहिं", "नहीं", "ने", "पर", "पहले", "फिर", "बहुत", "भि", "भी",
+    "मे", "में", "यह", "यहाँ", "ये", "रहा", "रहे", "वह", "वे", "से", "हि",
+    "ही", "हुआ", "है", "हैं", "हो", "होता", "होने")
+
+  /** High-frequency subset of the reference's Bengali stop list
+    * (`bn/stopwords.txt` — matched after normalization like the
+    * reference's filter order). */
+  val BengaliStopWords: Set[String] = Set(
+    "এই", "ও", "থেকে", "করে", "এ", "না", "ওই", "এক", "নিয়ে", "করা",
+    "বলেন", "সঙ্গে", "যে", "এব", "তা", "আর", "কোনো", "বলে", "সেই", "দিন",
+    "হয়", "কি", "দু", "পরে", "সব", "দেওয়া", "মধ্যে", "এর", "সি", "শুরু",
+    "কাজ", "কিছু", "কাছে", "সে", "তবে", "বা", "বন", "আগে", "জন", "পি",
+    "এবং", "হতে", "হবে", "তার", "তিনি", "আমি", "আমরা", "তারা", "তাদের",
+    "একটি", "জন্য", "ছিল", "কিন্তু", "যা", "এখন", "খুব", "ছিলেন")
+
   def byName(name: String): Analyzer = name match {
     case "simple"         => SimpleAnalyzer
     case "standard"       => StandardLikeAnalyzer()
@@ -208,6 +256,10 @@ object Analyzers {
     case "romanian"       => RomanianAnalyzer()
     case "turkish"        => TurkishAnalyzer()
     case "greek"          => GreekAnalyzer()
+    case "bulgarian"      => BulgarianAnalyzer()
+    case "latvian"        => LatvianAnalyzer()
+    case "hindi"          => HindiAnalyzer()
+    case "bengali"        => BengaliAnalyzer()
     case "folding"        => AsciiFoldingAnalyzer()
     case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
       ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)
