@@ -267,6 +267,10 @@ object Indexes {
     snowballShard(spark, sfDir, "hi", 3, HindiAnalyzer(), divisor = 11)
   def bengaliIndex(spark: SparkSession, sfDir: String): InvertedIndex =
     snowballShard(spark, sfDir, "bn", 4, BengaliAnalyzer(), divisor = 11)
+  def irishIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "ga", 5, IrishAnalyzer(), divisor = 11)
+  def armenianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "hy", 6, ArmenianAnalyzer(), divisor = 11)
 
   /** The `lang='zh'` corpus slice indexed through the CJK chain
     * ([[graft.core.CjkAnalyzer]]: tokenize → width fold → lowercase → CJK
@@ -984,6 +988,50 @@ object SparkEntry {
       topk(new Searcher(Indexes.turkishIndex(s, dir), ScoringMode.PreciseBM25())
         .scored(TermQuery("da")), 10)
     }),
+    "q117_taxonomy_ordinals" -> ((s, dir) => {
+      // Taxonomy side-index over an arbitrary-depth path (lang/source/bucket):
+      // prefix-closure ordinals + one ancestor-exploding aggregation — the
+      // FastTaxonomyFacetCounts model (not the fixed-columns rollup of q51)
+      val docs = docsTable(s, dir)
+      val pathCol = concat_ws("/", col("lang"), col("source"),
+        (col("doc_id") % 3).cast("string"))
+      val tax = Taxonomy.build(docs, pathCol)
+      val matched = Indexes.searcher(s, dir).scored(TermQuery("spark"))
+      Taxonomy.counts(matched, docs, "doc_id", pathCol, tax)
+        .select(col("ordinal"), col("path"), col("cnt"))
+        .orderBy("path")
+    }),
+    "q118_analyzing_suggest" -> ((s, dir) => {
+      // AnalyzingSuggester: the analyzed query ('Table-s' → 'table s')
+      // completes across token boundaries against analyzed keys
+      val sugg = docsTable(s, dir).select(
+        array_join(slice(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => t =!= lit("")), 1, 8), " ").as("suggestion"),
+        col("n_chars"))
+      Suggester.analyzing(sugg, "suggestion", "n_chars", "Table-s", 10)
+    }),
+    "q119_fuzzy_suggest" -> ((s, dir) => {
+      // FuzzySuggester: 'tabel s' reaches 'table s...' keys within 2 edits
+      // of the same-length key prefix, first char exact
+      val sugg = docsTable(s, dir).select(
+        array_join(slice(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => t =!= lit("")), 1, 8), " ").as("suggestion"),
+        col("n_chars"))
+      Suggester.fuzzy(sugg, "suggestion", "n_chars", "tabel s", 10, maxEdits = 2)
+    }),
+    "q120_irish_chain" -> ((s, dir) => {
+      // Irish chain (hyphenation stop, d'/m'/b' elision, Irish lowercase,
+      // th→t initial morph) on the doc_id % 11 = 5 shard: 'the' → 'te';
+      // stemmer pinned by SnowballSpec's reference vectors
+      topk(new Searcher(Indexes.irishIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("te")), 10)
+    }),
+    "q121_armenian_stem" -> ((s, dir) => {
+      // Armenian chain on the doc_id % 11 = 6 shard; Armenian-script rules
+      // are identity on ASCII (oracle = tokenize+stop, the CJK pattern)
+      topk(new Searcher(Indexes.armenianIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("spark")), 10)
+    }),
     "q113_bulgarian_stem" -> ((s, dir) => {
       // Bulgarian chain on the doc_id % 11 = 1 shard; Cyrillic-suffix rules
       // are identity on this ASCII slice (oracle = tokenize+stop, the CJK
@@ -1119,6 +1167,10 @@ object SparkEntry {
        |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  private val IrishStopList: String =
+    Analyzers.IrishStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val ArmenianStopList: String =
+    Analyzers.ArmenianStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
   private val BulgarianStopList: String =
     Analyzers.BulgarianStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
   private val LatvianStopList: String =
@@ -2463,6 +2515,60 @@ object SparkEntry {
     "q109_turkish_stem" -> snowballChainSql(4, TurkishStopList, Map(
       "data" -> "da", "line" -> "l"), "da"),
     "q110_greek_stem" -> snowballChainSql(5, GreekStopList, Map.empty, "spark"),
+    // taxonomy side index: ordinals = rank over the prefix closure of ALL
+    // docs' paths; counts roll every matched doc's ancestor chain up
+    "q117_taxonomy_ordinals" ->
+      s"""$CTE, paths AS (
+         |  SELECT doc_id,
+         |         [lang,
+         |          lang || '/' || source,
+         |          lang || '/' || source || '/' || (doc_id % 3)::VARCHAR] AS pfx
+         |  FROM documents
+         |), tax AS (
+         |  SELECT path, row_number() OVER (ORDER BY path) - 1 AS ordinal FROM (
+         |    SELECT DISTINCT unnest(pfx) AS path FROM paths
+         |  )
+         |), cnts AS (
+         |  SELECT unnest(pfx) AS path FROM paths
+         |  WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+         |)
+         |SELECT t.ordinal, c.path, count(*) AS cnt
+         |FROM cnts c JOIN tax t USING (path)
+         |GROUP BY 1, 2 ORDER BY c.path""".stripMargin,
+
+    // analyzing suggester: analyzed 'Table-s' = 'table s' must prefix the
+    // analyzed key; surface + weight returned
+    "q118_analyzing_suggest" ->
+      """WITH sugg AS (
+        |  SELECT array_to_string(list_slice(list_filter(
+        |           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+        |           1, 8), ' ') AS suggestion,
+        |         n_chars
+        |  FROM documents
+        |)
+        |SELECT suggestion, n_chars::BIGINT AS weight FROM sugg
+        |WHERE suggestion LIKE 'table s%'
+        |ORDER BY weight DESC, suggestion LIMIT 10""".stripMargin,
+
+    // fuzzy suggester: same-length key prefix within 2 edits of 'tabel s',
+    // first char exact
+    "q119_fuzzy_suggest" ->
+      """WITH sugg AS (
+        |  SELECT array_to_string(list_slice(list_filter(
+        |           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+        |           1, 8), ' ') AS suggestion,
+        |         n_chars
+        |  FROM documents
+        |)
+        |SELECT suggestion, n_chars::BIGINT AS weight FROM sugg
+        |WHERE substr(suggestion, 1, 1) = 't'
+        |  AND levenshtein(substr(suggestion, 1, 7), 'tabel s') <= 2
+        |ORDER BY weight DESC, suggestion LIMIT 10""".stripMargin,
+
+    "q120_irish_chain" -> snowballChainSql(5, IrishStopList,
+      Map("the" -> "te"), "te", divisor = 11),
+    "q121_armenian_stem" ->
+      snowballChainSql(6, ArmenianStopList, Map.empty, "spark", divisor = 11),
     "q113_bulgarian_stem" ->
       snowballChainSql(1, BulgarianStopList, Map.empty, "spark", divisor = 11),
     "q114_latvian_stem" -> snowballChainSql(2, LatvianStopList, Map(

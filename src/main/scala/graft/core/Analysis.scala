@@ -228,6 +228,24 @@ object Analyzers {
     "এবং", "হতে", "হবে", "তার", "তিনি", "আমি", "আমরা", "তারা", "তাদের",
     "একটি", "জন্য", "ছিল", "কিন্তু", "যা", "এখন", "খুব", "ছিলেন")
 
+  /** High-frequency subset of the snowball Irish stop list
+    * (`snowball/irish_stop.txt`). */
+  val IrishStopWords: Set[String] = Set(
+    "a", "ach", "ag", "agus", "an", "aon", "ar", "arna", "as", "ba", "chomh",
+    "chuig", "chun", "cois", "de", "den", "do", "don", "faoi", "faoin",
+    "gach", "go", "i", "idir", "in", "ina", "le", "leis", "mar", "mo", "na",
+    "nach", "ní", "níl", "ó", "ón", "os", "roimh", "sa", "san", "seo", "sin",
+    "thar", "trí", "um")
+
+  /** High-frequency subset of the reference's Armenian stop list
+    * (`hy/stopwords.txt`). */
+  val ArmenianStopWords: Set[String] = Set(
+    "այդ", "այլ", "այն", "այս", "դու", "դուք", "եմ", "են", "ենք", "ես",
+    "եք", "է", "էի", "էին", "էինք", "էիր", "էիք", "էր", "ըստ", "թ", "ի",
+    "ին", "իսկ", "իր", "կամ", "համար", "հետ", "հետո", "մենք", "մեջ", "մի",
+    "ն", "նա", "նաև", "նրա", "նրանք", "որ", "որը", "որոնք", "որպես", "ու",
+    "ում", "պիտի", "վրա", "և")
+
   def byName(name: String): Analyzer = name match {
     case "simple"         => SimpleAnalyzer
     case "standard"       => StandardLikeAnalyzer()
@@ -260,6 +278,8 @@ object Analyzers {
     case "latvian"        => LatvianAnalyzer()
     case "hindi"          => HindiAnalyzer()
     case "bengali"        => BengaliAnalyzer()
+    case "irish"          => IrishAnalyzer()
+    case "armenian"       => ArmenianAnalyzer()
     case "folding"        => AsciiFoldingAnalyzer()
     case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
       ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)

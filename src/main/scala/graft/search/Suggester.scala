@@ -50,6 +50,49 @@ object Suggester {
     * pushed scan + TakeOrdered — the auxiliary structure is the column.
     *
     * `suggestions` carries (`textCol`: suggestion text, `weightCol`). */
+  /** Analyzed tokens of a column under the SimpleAnalyzer contract, joined
+    * into the suggester KEY (the reference's analyzed-form FST key,
+    * `AnalyzingSuggester.java:117-133`, with a single separator). */
+  private def analyzedKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_join(filter(split(lower(c), "[^a-z0-9]+"), t => t =!= lit("")), " ")
+
+  private def analyzeQuery(q: String): String =
+    q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).mkString(" ")
+
+  /** Analyzing completion — the reference's `AnalyzingSuggester`
+    * (`lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/AnalyzingSuggester.java:76`):
+    * the ANALYZED query must be a prefix of the suggestion's ANALYZED key
+    * (so completion crosses token boundaries and is case/punctuation
+    * insensitive), ranked by weight; surface forms are returned. The
+    * reference stores keys in an FST; relationally the key is a derived
+    * column and lookup is one pushed prefix scan + TakeOrdered. */
+  def analyzing(suggestions: DataFrame, textCol: String, weightCol: String,
+                query: String, k: Int): DataFrame =
+    suggestions
+      .filter(analyzedKey(col(textCol)).startsWith(analyzeQuery(query)))
+      .select(col(textCol).as("suggestion"), col(weightCol).cast("long").as("weight"))
+      .orderBy(desc("weight"), asc("suggestion"))
+      .limit(k)
+
+  /** Fuzzy completion — the reference's `FuzzySuggester`
+    * (`suggest/analyzing/FuzzySuggester.java:47-66` defaults: maxEdits=1,
+    * an exact `nonFuzzyPrefix` of 1, and no fuzzing below
+    * `minFuzzyLength`=3): the analyzed query may differ from the analyzed
+    * key's same-length prefix by ≤ maxEdits, first char exact. */
+  def fuzzy(suggestions: DataFrame, textCol: String, weightCol: String,
+            query: String, k: Int, maxEdits: Int = 1,
+            nonFuzzyPrefix: Int = 1, minFuzzyLength: Int = 3): DataFrame = {
+    val q = analyzeQuery(query)
+    if (q.length < minFuzzyLength) return analyzing(suggestions, textCol, weightCol, query, k)
+    val key = analyzedKey(col(textCol))
+    suggestions
+      .filter(substring(key, 1, nonFuzzyPrefix) === q.substring(0, nonFuzzyPrefix) &&
+        levenshtein(substring(key, 1, q.length), lit(q)) <= maxEdits)
+      .select(col(textCol).as("suggestion"), col(weightCol).cast("long").as("weight"))
+      .orderBy(desc("weight"), asc("suggestion"))
+      .limit(k)
+  }
+
   def infix(suggestions: DataFrame, textCol: String, weightCol: String,
             query: String, k: Int): DataFrame = {
     val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= lit(""))

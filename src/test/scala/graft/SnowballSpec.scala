@@ -48,4 +48,12 @@ class SnowballSpec extends AnyFunSuite {
   test("Greek stemmer: full generated-vocabulary parity") {
     assertParity("el_vectors.tsv", graft.core.GreekStem.stem)
   }
+
+  test("Irish snowball: full generated-vocabulary parity") {
+    assertParity("ga_vectors.tsv", graft.core.IrishSnowball.stem)
+  }
+
+  test("Armenian snowball: full generated-vocabulary parity") {
+    assertParity("hy_vectors.tsv", graft.core.ArmenianSnowball.stem)
+  }
 }
