@@ -271,6 +271,12 @@ object Indexes {
     snowballShard(spark, sfDir, "ga", 5, IrishAnalyzer(), divisor = 11)
   def armenianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
     snowballShard(spark, sfDir, "hy", 6, ArmenianAnalyzer(), divisor = 11)
+  def lithuanianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "lt", 7, LithuanianAnalyzer(), divisor = 11)
+  def catalanIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "ca", 8, CatalanAnalyzer(), divisor = 11)
+  def basqueIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "eu", 9, BasqueAnalyzer(), divisor = 11)
 
   /** The `lang='zh'` corpus slice indexed through the CJK chain
     * ([[graft.core.CjkAnalyzer]]: tokenize → width fold → lowercase → CJK
@@ -1019,6 +1025,24 @@ object SparkEntry {
         col("n_chars"))
       Suggester.fuzzy(sugg, "suggestion", "n_chars", "tabel s", 10, maxEdits = 2)
     }),
+    "q124_basque_stem" -> ((s, dir) => {
+      // Basque chain on the doc_id % 11 = 9 shard: 'table' -> RV 'le' strip
+      // -> 'tab'; reference-derived corpus mapping
+      topk(new Searcher(Indexes.basqueIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("tab")), 10)
+    }),
+    "q123_catalan_stem" -> ((s, dir) => {
+      // Catalan chain (d/l/m/n/s/t elision ahead of lowercase) on the
+      // doc_id % 11 = 8 shard: 'table' -> residual-e strip -> 'tab'
+      topk(new Searcher(Indexes.catalanIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("tab")), 10)
+    }),
+    "q122_lithuanian_stem" -> ((s, dir) => {
+      // Lithuanian chain on the doc_id % 11 = 7 shard: 'table' loses the
+      // final-e case suffix -> 'tabl'; reference-derived corpus mapping
+      topk(new Searcher(Indexes.lithuanianIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("tabl")), 10)
+    }),
     "q120_irish_chain" -> ((s, dir) => {
       // Irish chain (hyphenation stop, d'/m'/b' elision, Irish lowercase,
       // th→t initial morph) on the doc_id % 11 = 5 shard: 'the' → 'te';
@@ -1167,6 +1191,12 @@ object SparkEntry {
        |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  private val BasqueStopList: String =
+    Analyzers.BasqueStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val CatalanStopList: String =
+    Analyzers.CatalanStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val LithuanianStopList: String =
+    Analyzers.LithuanianStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
   private val IrishStopList: String =
     Analyzers.IrishStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
   private val ArmenianStopList: String =
@@ -2565,6 +2595,18 @@ object SparkEntry {
         |  AND levenshtein(substr(suggestion, 1, 7), 'tabel s') <= 2
         |ORDER BY weight DESC, suggestion LIMIT 10""".stripMargin,
 
+    "q124_basque_stem" -> snowballChainSql(9, BasqueStopList, Map(
+      "merge" -> "mer", "table" -> "tab", "vector" -> "vect"),
+      "tab", divisor = 11),
+    "q123_catalan_stem" -> snowballChainSql(8, CatalanStopList, Map(
+      "customer" -> "custom", "data" -> "dat", "filter" -> "filt",
+      "line" -> "lin", "merge" -> "merg", "order" -> "ord",
+      "table" -> "tab", "value" -> "valu", "vector" -> "vect"),
+      "tab", divisor = 11),
+    "q122_lithuanian_stem" -> snowballChainSql(7, LithuanianStopList, Map(
+      "data" -> "dat", "line" -> "lin", "merge" -> "merg", "query" -> "quer",
+      "spark" -> "spar", "table" -> "tabl", "value" -> "valu"),
+      "tabl", divisor = 11),
     "q120_irish_chain" -> snowballChainSql(5, IrishStopList,
       Map("the" -> "te"), "te", divisor = 11),
     "q121_armenian_stem" ->

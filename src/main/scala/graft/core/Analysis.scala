@@ -246,6 +246,46 @@ object Analyzers {
     "ն", "նա", "նաև", "նրա", "նրանք", "որ", "որը", "որոնք", "որպես", "ու",
     "ում", "պիտի", "վրա", "և")
 
+  /** High-frequency subset of the reference's Lithuanian stop list
+    * (`lt/stopwords.txt`). */
+  val LithuanianStopWords: Set[String] = Set(
+    "ant", "apie", "ar", "arba", "aš", "be", "bei", "bet", "bus", "būti",
+    "būtų", "buvo", "dėl", "gali", "į", "iki", "ir", "iš", "ja", "ją",
+    "jai", "jais", "jam", "jame", "jas", "jei", "ji", "jį", "jie", "jiems",
+    "jis", "jo", "jog", "joje", "jos", "jų", "juo", "jus", "jūs", "ką",
+    "kad", "kai", "kaip", "kas", "kol", "kur", "kuri", "kuris", "man",
+    "mane", "mano", "mes", "ms", "mus", "mūsų", "ne", "nes", "net", "nuo",
+    "o", "pat", "per", "po", "prie", "su", "tai", "taip", "tas", "tą",
+    "ten", "tik", "to", "todėl", "tu", "tą", "už", "virš", "yra")
+
+  /** High-frequency subset of the reference's Catalan stop list
+    * (`ca/stopwords.txt`). */
+  val CatalanStopWords: Set[String] = Set(
+    "a", "abans", "així", "això", "al", "als", "altra", "altre", "altres",
+    "amb", "aquell", "aquella", "aquest", "aquesta", "com", "de", "del",
+    "dels", "des", "durant", "el", "els", "en", "encara", "entre", "era",
+    "eren", "es", "és", "essent", "està", "estan", "fins", "fou", "ha",
+    "han", "hi", "i", "ja", "la", "les", "li", "lo", "los", "més", "mentre",
+    "no", "o", "on", "per", "però", "qual", "quan", "que", "qui", "se",
+    "sense", "seu", "seva", "si", "sobre", "són", "sota", "també", "te",
+    "tot", "un", "una", "unes", "uns")
+
+  /** High-frequency subset of the reference's Basque stop list
+    * (`eu/stopwords.txt`). */
+  val BasqueStopWords: Set[String] = Set(
+    "al", "anitz", "arabera", "asko", "baina", "bat", "batean", "batek",
+    "bati", "batzuei", "batzuek", "batzuetan", "batzuk", "bera", "beraiek",
+    "berau", "berauek", "bere", "berori", "beroriek", "beste", "bezala",
+    "da", "dago", "dira", "ditu", "du", "dute", "edo", "egin", "ere", "eta",
+    "eurak", "ez", "gainera", "gu", "gutxi", "guzti", "haiei", "haiek",
+    "hara", "hari", "hark", "hartan", "hau", "hauei", "hauek", "hauetan",
+    "hemen", "hi", "hona", "honek", "honela", "honetan", "honi", "hor",
+    "hori", "horiei", "horiek", "horietan", "horko", "horra", "horrek",
+    "horrela", "horretan", "horri", "hortik", "hura", "izan", "ni", "noiz",
+    "nola", "non", "nondik", "nongo", "nor", "nora", "ze", "zein", "zen",
+    "zenbait", "zenbat", "zer", "zergatik", "ziren", "zituen", "zu", "zuek",
+    "zuen", "zuten")
+
   def byName(name: String): Analyzer = name match {
     case "simple"         => SimpleAnalyzer
     case "standard"       => StandardLikeAnalyzer()
@@ -280,6 +320,9 @@ object Analyzers {
     case "bengali"        => BengaliAnalyzer()
     case "irish"          => IrishAnalyzer()
     case "armenian"       => ArmenianAnalyzer()
+    case "lithuanian"     => LithuanianAnalyzer()
+    case "catalan"        => CatalanAnalyzer()
+    case "basque"         => BasqueAnalyzer()
     case "folding"        => AsciiFoldingAnalyzer()
     case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
       ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)

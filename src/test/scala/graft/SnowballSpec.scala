@@ -56,4 +56,16 @@ class SnowballSpec extends AnyFunSuite {
   test("Armenian snowball: full generated-vocabulary parity") {
     assertParity("hy_vectors.tsv", graft.core.ArmenianSnowball.stem)
   }
+
+  test("Lithuanian snowball: full generated-vocabulary parity") {
+    assertParity("lt_vectors.tsv", graft.core.LithuanianSnowball.stem)
+  }
+
+  test("Catalan snowball: full generated-vocabulary parity") {
+    assertParity("ca_vectors.tsv", graft.core.CatalanSnowball.stem)
+  }
+
+  test("Basque snowball: full generated-vocabulary parity") {
+    assertParity("eu_vectors.tsv", graft.core.BasqueSnowball.stem)
+  }
 }
