@@ -1025,6 +1025,20 @@ object SparkEntry {
         col("n_chars"))
       Suggester.fuzzy(sugg, "suggestion", "n_chars", "tabel s", 10, maxEdits = 2)
     }),
+    "q125_cached_filter" -> ((s, dir) => {
+      // LRU filter cache (LRUQueryCache + usage-tracking policy): the same
+      // FILTER runs three times through one cached searcher; the third run
+      // serves the persisted filter frame — results identical by contract
+      val cache = new LRUQueryCache(maxEntries = 8)
+      val searcher = new Searcher(Indexes.documentsIndex(s, dir),
+        ScoringMode.PreciseBM25(), queryCache = Some(cache))
+      val q = BooleanQuery(Seq(
+        Occur.MUST -> TermQuery("spark"),
+        Occur.FILTER -> PrefixQuery("st")))
+      searcher.search(q, 10).collect()
+      searcher.search(q, 10).collect()
+      topk(searcher.scored(q), 10)
+    }),
     "q124_basque_stem" -> ((s, dir) => {
       // Basque chain on the doc_id % 11 = 9 shard: 'table' -> RV 'le' strip
       // -> 'tab'; reference-derived corpus mapping
@@ -2595,6 +2609,12 @@ object SparkEntry {
         |  AND levenshtein(substr(suggestion, 1, 7), 'tabel s') <= 2
         |ORDER BY weight DESC, suggestion LIMIT 10""".stripMargin,
 
+    // cached-filter boolean: BM25 'spark' restricted to docs with an 'st%'
+    // token (the FILTER contributes no score) — identical to the uncached
+    // plan by the cache contract
+    "q125_cached_filter" -> topkSql(
+      s"""SELECT a.doc_id, a.score FROM (${termScoreSql("spark")}) a
+         |WHERE a.doc_id IN (SELECT doc_id FROM toks WHERE term LIKE 'st%')""".stripMargin, 10),
     "q124_basque_stem" -> snowballChainSql(9, BasqueStopList, Map(
       "merge" -> "mer", "table" -> "tab", "vector" -> "vect"),
       "tab", divisor = 11),

@@ -143,7 +143,10 @@ final class Searcher(
     val mode: ScoringMode = ScoringMode.PreciseBM25(),
     /** hits below which pruning is not attempted — the analog of the
       * reference's totalHitsThreshold (`IndexSearcher.java:100`) */
-    val pruneThreshold: Long = 1000L) {
+    val pruneThreshold: Long = 1000L,
+    /** per-FILTER result cache with the reference's usage-tracking
+      * admission policy ([[LRUQueryCache]]); None = no filter caching */
+    val queryCache: Option[LRUQueryCache] = None) {
 
   private val spark = index.spark
   import spark.implicits._
@@ -1439,7 +1442,14 @@ final class Searcher(
       stats: Map[String, TermStats], boost: Double): DataFrame = {
     val must = clauses.collect { case (Occur.MUST, c) => compile(c, stats, boost) }
     val should = clauses.collect { case (Occur.SHOULD, c) => compile(c, stats, boost) }
-    val filters = clauses.collect { case (Occur.FILTER, c) => compile(c, stats, 1.0) }
+    val filters = clauses.collect { case (Occur.FILTER, c) =>
+      queryCache match {
+        case Some(qc) =>
+          qc.filterDocs(c, () => compile(c, stats, 1.0).select("docId").distinct())
+            .withColumn("score", lit(0.0))
+        case None => compile(c, stats, 1.0)
+      }
+    }
     val nots = clauses.collect { case (Occur.MUST_NOT, c) => compile(c, stats, 1.0) }
 
     var base: DataFrame =
