@@ -277,6 +277,8 @@ object Indexes {
     snowballShard(spark, sfDir, "ca", 8, CatalanAnalyzer(), divisor = 11)
   def basqueIndex(spark: SparkSession, sfDir: String): InvertedIndex =
     snowballShard(spark, sfDir, "eu", 9, BasqueAnalyzer(), divisor = 11)
+  def estonianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "et", 10, EstonianAnalyzer(), divisor = 11)
 
   /** The `lang='zh'` corpus slice indexed through the CJK chain
     * ([[graft.core.CjkAnalyzer]]: tokenize → width fold → lowercase → CJK
@@ -1039,6 +1041,13 @@ object SparkEntry {
       searcher.search(q, 10).collect()
       topk(searcher.scored(q), 10)
     }),
+    "q126_estonian_stem" -> ((s, dir) => {
+      // Estonian chain on the doc_id % 11 = 10 shard; the suffix grammar is
+      // identity on this ASCII vocabulary (oracle = tokenize+stop), the
+      // stemmer pinned by SnowballSpec's 10k reference vectors
+      topk(new Searcher(Indexes.estonianIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("spark")), 10)
+    }),
     "q124_basque_stem" -> ((s, dir) => {
       // Basque chain on the doc_id % 11 = 9 shard: 'table' -> RV 'le' strip
       // -> 'tab'; reference-derived corpus mapping
@@ -1205,6 +1214,8 @@ object SparkEntry {
        |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  private val EstonianStopList: String =
+    Analyzers.EstonianStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
   private val BasqueStopList: String =
     Analyzers.BasqueStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
   private val CatalanStopList: String =
@@ -2615,6 +2626,8 @@ object SparkEntry {
     "q125_cached_filter" -> topkSql(
       s"""SELECT a.doc_id, a.score FROM (${termScoreSql("spark")}) a
          |WHERE a.doc_id IN (SELECT doc_id FROM toks WHERE term LIKE 'st%')""".stripMargin, 10),
+    "q126_estonian_stem" ->
+      snowballChainSql(10, EstonianStopList, Map.empty, "spark", divisor = 11),
     "q124_basque_stem" -> snowballChainSql(9, BasqueStopList, Map(
       "merge" -> "mer", "table" -> "tab", "vector" -> "vect"),
       "tab", divisor = 11),

@@ -286,6 +286,18 @@ object Analyzers {
     "zenbait", "zenbat", "zer", "zergatik", "ziren", "zituen", "zu", "zuek",
     "zuen", "zuten")
 
+  /** High-frequency subset of the reference's Estonian stop list
+    * (`et/stopwords.txt`). */
+  val EstonianStopWords: Set[String] = Set(
+    "all", "alla", "alt", "eel", "enne", "hoolimata", "ilma", "kaudu",
+    "keset", "kesk", "kohe", "koos", "kuni", "kõige", "ligi", "läbi",
+    "mööda", "peale", "pealt", "piki", "pärast", "sealt", "seas", "sees",
+    "siia", "siin", "siit", "sinna", "säärane", "taga", "taha", "tagant",
+    "tagapool", "tema", "toona", "tõttu", "vahel", "vastu", "välja", "üle",
+    "ümber", "ja", "ka", "kas", "kui", "mis", "mitte", "nagu", "need",
+    "nende", "ning", "nüüd", "oled", "olen", "oli", "olid", "olla", "oma",
+    "on", "sa", "seda", "see", "selle", "siis", "ta", "te", "vaid", "või")
+
   def byName(name: String): Analyzer = name match {
     case "simple"         => SimpleAnalyzer
     case "standard"       => StandardLikeAnalyzer()
@@ -323,6 +335,7 @@ object Analyzers {
     case "lithuanian"     => LithuanianAnalyzer()
     case "catalan"        => CatalanAnalyzer()
     case "basque"         => BasqueAnalyzer()
+    case "estonian"       => EstonianAnalyzer()
     case "folding"        => AsciiFoldingAnalyzer()
     case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
       ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)

@@ -68,4 +68,8 @@ class SnowballSpec extends AnyFunSuite {
   test("Basque snowball: full generated-vocabulary parity") {
     assertParity("eu_vectors.tsv", graft.core.BasqueSnowball.stem)
   }
+
+  test("Estonian snowball: full generated-vocabulary parity") {
+    assertParity("et_vectors.tsv", graft.core.EstonianSnowball.stem)
+  }
 }
