@@ -197,17 +197,29 @@ object Bench {
       // throttles per-core throughput in windows (BASELINE.md §3), and a
       // window that slows BOTH halves of a cycle uniformly cancels in the
       // ratio, while the n2,n2,n8,n8 ordering let one window hit only one
-      // side. All cycle walls are reported; absolute throughputs use the
-      // min wall per point.
+      // side. All cycle walls are reported; absolute throughputs and
+      // evidence come from the best cycle (single-run provenance), min
+      // walls ride alongside as sec_nX_min.
       val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BUILD_REPS", "2").toInt)
       val cycles = (1 to reps).map { _ =>
         val (w2, e2, _) = timedBuildOnce(2, benchDocs, p)
         val (w8, e8, _) = timedBuildOnce(8, benchDocs, p)
         (w2, w8, e2, e8)
       }
+      // Reporting provenance (r4 advice): every headline field below derives
+      // from ONE named cycle — the best-ratio cycle carries sec_n2/sec_n8,
+      // docs/sec, evidence, and the gate efficiency, so
+      // docs_per_sec_n8/(4*docs_per_sec_n2) == scaling_efficiency exactly.
+      // The full per-cycle wall spread stays in `walls`, the min walls in
+      // `sec_n2_min`/`sec_n8_min`, and the MEDIAN cycle ratio (lower-middle
+      // for even rep counts — conservative, the anti-selection complement of
+      // the best-cycle number) is published alongside as
+      // `scaling_efficiency_median`.
+      val ratios = cycles.map { case (w2, w8, _, _) => w2 / w8 }
       val bestCycle = cycles.maxBy { case (w2, w8, _, _) => w2 / w8 }
-      val sec2 = cycles.map(_._1).min
-      val secN = cycles.map(_._2).min
+      val effMedian = ratios.sorted.apply((ratios.size - 1) / 2) / 4.0
+      val sec2 = bestCycle._1
+      val secN = bestCycle._2
       val ev2 = bestCycle._3 +
         s""","walls":[${cycles.map(c => f"${c._1}%.1f").mkString(",")}]"""
       val evN = bestCycle._4 +
@@ -252,8 +264,12 @@ object Bench {
 
       scalingJson =
         f""","index_build":{"docs":$benchDocs,"sec_n2":$sec2%.1f,"sec_n8":$secN%.1f,"sec_n32":$sec4N%.1f,""" +
+        f""""sec_n2_min":${cycles.map(_._1).min}%.1f,"sec_n8_min":${cycles.map(_._2).min}%.1f,""" +
         f""""docs_per_sec_n2":$dps2%.0f,"docs_per_sec_n8":$dpsN%.0f,"docs_per_sec_n32":$dps4N%.0f,""" +
-        f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_n8_n32_hw_bound":$effHw%.3f,""" +
+        f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_best_cycle":$eff%.3f,""" +
+        f""""scaling_efficiency_median":$effMedian%.3f,""" +
+        f""""cycle_ratios":[${ratios.map(r => f"${r / 4.0}%.3f").mkString(",")}],""" +
+        f""""scaling_efficiency_n8_n32_hw_bound":$effHw%.3f,""" +
         s""""evidence_n2":{$ev2},"evidence_n8":{$evN},"evidence_n32":{$ev4N}},""" +
         f""""bm25_topk":{"n_queries":${lat.size},"p50_ms":$p50%.0f,"p95_ms":$p95%.0f,""" +
         f""""batch_all_sec":$batchSec%.2f,"batch_rows":$batchRows,""" +

@@ -1456,6 +1456,16 @@ object SparkEntry {
   private def cteFiltered(pred: String): String =
     CTE.replace("FROM documents", s"FROM documents WHERE $pred")
 
+  /** Prefix an oracle with an explicit DuckDB memory limit. DuckDB sizes its
+    * default limit from RAM available when the connection opens — transiently
+    * tiny right after the Spark JVM exits — which made the heaviest oracles
+    * fail with spurious "Out of Memory Error" on KB-sized allocations
+    * (CORRECTNESS_r04: q82/q83/q88/q90/q92). The python API executes
+    * multi-statement SQL and returns the last result, so the pragma rides
+    * inside the oracle string itself. */
+  private[graft] def memSafe(sql: String): String =
+    "SET memory_limit='4GB'; " + sql
+
   def oracleSql: Map[String, String] = Map(
     "q01_term_bm25" -> topkSql(termScoreSql("spark"), 10),
 
@@ -2331,7 +2341,7 @@ object SparkEntry {
     // Portuguese chain on the doc_id % 5 = 4 shard: tokenize → stop(PT) →
     // light stem staged exactly like the engine (suffix → feminine → final
     // vowel → fold); statistics shard-local
-    "q82_portuguese_stem" ->
+    "q82_portuguese_stem" -> memSafe(
       s"""WITH raw AS (
          |  SELECT doc_id,
          |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
@@ -2359,12 +2369,12 @@ object SparkEntry {
          |           / (SELECT count(*) FROM documents WHERE doc_id % 5 = 4) AS avgdl
          |)
          |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("merg")}) scored
-         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin),
 
     // Swedish chain on the doc_id % 5 = 1 shard: tokenize → stop(SV, surface
     // form) → possessive-s strip → suffix family (exact engine staging);
     // statistics shard-local like q81/q82
-    "q92_swedish_stem" ->
+    "q92_swedish_stem" -> memSafe(
       s"""WITH raw AS (
          |  SELECT doc_id,
          |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
@@ -2390,7 +2400,7 @@ object SparkEntry {
          |           / (SELECT count(*) FROM documents WHERE doc_id % 5 = 1) AS avgdl
          |)
          |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("tabl")}) scored
-         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin),
 
     // Norwegian Bokmål chain on the doc_id % 5 = 3 shard, staged like q92
     "q93_norwegian_stem" ->
@@ -2470,12 +2480,12 @@ object SparkEntry {
          |ORDER BY d.n_chars, s.doc_id LIMIT 10""".stripMargin,
 
     // sort-field range (answered as a doc-id range by the engine)
-    "q90_sorted_field_range" ->
+    "q90_sorted_field_range" -> memSafe(
       s"""$CTE, scored AS (${termScoreSql("spark")})
          |SELECT s.doc_id, d.n_chars, round(s.score, 6) AS score
          |FROM scored s JOIN documents d ON d.doc_id = s.doc_id
          |WHERE d.n_chars BETWEEN 150 AND 300
-         |ORDER BY s.doc_id""".stripMargin,
+         |ORDER BY s.doc_id""".stripMargin),
 
     // index-order-sorted top-k: the 10 earliest matching docs, scores intact
     "q85_sorted_index_order" ->
@@ -2492,7 +2502,7 @@ object SparkEntry {
 
     // diversified top-k: per-source cap 2 (ranked by score desc, doc_id asc
     // within each source), then global top-10 of the survivors
-    "q83_diversified" ->
+    "q83_diversified" -> memSafe(
       s"""$CTE, scored AS (${termScoreSql("spark")}),
          |capped AS (
          |  SELECT s.doc_id, s.score, d.source,
@@ -2500,7 +2510,7 @@ object SparkEntry {
          |                            ORDER BY s.score DESC, s.doc_id) AS rn
          |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
          |SELECT doc_id, round(score, 6) AS score, source FROM capped
-         |WHERE rn <= 2 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+         |WHERE rn <= 2 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
 
     // graph synonym: the 'stream' span expands to (term 'stream' OR phrase
     // "spark batch") — matching alternatives' scores SUM (a SHOULD boolean,

@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object IndexSort {
 
-  private def offsets(counts: Array[(Int, Long)]): Map[Int, Long] = {
+  /** Per-partition global start offsets from (partitionId, count) pairs —
+    * the count pre-pass half of the distributed zip-with-index (shared with
+    * [[graft.search.Taxonomy.build]]'s ordinal assignment). */
+  private[graft] def offsets(counts: Array[(Int, Long)]): Map[Int, Long] = {
     val byPid = counts.toMap
     val maxPid = if (counts.isEmpty) -1 else counts.map(_._1).max
     var acc = 0L

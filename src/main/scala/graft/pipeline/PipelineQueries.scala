@@ -207,7 +207,7 @@ object PipelineQueries {
 
     // components of the EXACT τ=0.9 pair graph (q17 proves the engine's LSH
     // pair set equals it), closed transitively by a recursive CTE
-    "q88_dedup_cluster" ->
+    "q88_dedup_cluster" -> graft.SparkEntry.memSafe(
       s"""${SHINGLE_CTE.replaceFirst("^WITH ", "WITH RECURSIVE ")},
          |inter AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
@@ -224,7 +224,7 @@ object PipelineQueries {
          |  UNION
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, least(u, min(v)) AS component
-         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin),
 
     "q18_dedup_simhash" ->
       """WITH raw AS (

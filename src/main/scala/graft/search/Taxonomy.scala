@@ -1,7 +1,7 @@
 package graft.search
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hierarchical facet taxonomy as a SIDE INDEX — the reference's taxonomy
@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   *
   *  - [[build]] — the taxonomy table `(ordinal, path, parent, depth)` over
   *    the DISTINCT prefix closure of the corpus's paths. Ordinal assignment
-  *    is a path-ordered `row_number` in one partition: the taxonomy
-  *    dictionary is dimension-sized (orders of magnitude smaller than the
-  *    corpus — the reference's taxonomy index is likewise a single
-  *    sequential structure), so the sequential step is on the small side by
-  *    construction, and everything joining it broadcasts.
+  *    is the deterministic DISTRIBUTED zip-with-index (range-repartition on
+  *    path, sort within partitions, one count pre-pass for global offsets —
+  *    the same mechanism as [[graft.index.IndexSort.buildSorted]] dense
+  *    ids): web-corpus taxonomies (host/path hierarchies) have cardinality
+  *    proportional to the corpus, so a single-partition global window would
+  *    be a serial bottleneck and a one-executor OOM at scale.
   *  - [[counts]] — matched docs join their path, explode the ancestor
   *    prefixes IN the plan (no per-level passes), aggregate once, and join
   *    the broadcast taxonomy for ordinals: the `FastTaxonomyFacetCounts`
@@ -33,16 +34,39 @@ object Taxonomy {
     transform(sequence(lit(1), size(split(path, "/"))),
       i => array_join(slice(split(path, "/"), lit(1), i), "/"))
 
-  /** Build the side index over the corpus's path column. */
-  def build(corpus: DataFrame, pathCol: Column): DataFrame = {
-    corpus.select(pathCol.as("path")).distinct()
+  /** Build the side index over the corpus's path column. Ordinals are dense
+    * 0-based ranks in global path order, assigned without any
+    * single-partition exchange: the prefix closure is range-partitioned on
+    * path and sorted within partitions (a distributed sort), partition
+    * counts are collected once (ints, not rows), and each partition stamps
+    * ids from its broadcast global offset. The closure frame is cached so
+    * the count pre-pass and the stamping pass see identical partitioning. */
+  def build(corpus: DataFrame, pathCol: Column, numPartitions: Int = 32): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val paths = corpus.select(pathCol.as("path")).distinct()
       .select(explode(prefixes(col("path"))).as("path"))
       .distinct()
-      .withColumn("ordinal", row_number().over(Window.orderBy("path")).cast("long") - 1)
+      .as[String]
+      .repartitionByRange(numPartitions, col("path"))
+      .sortWithinPartitions("path")
+      .cache()
+    val counts = paths
+      .mapPartitions(it => Iterator.single((TaskContext.getPartitionId(), it.size.toLong)))
+      .collect()
+    val bc = spark.sparkContext.broadcast(graft.index.IndexSort.offsets(counts))
+    val tax = paths.mapPartitions { it =>
+      var next = bc.value(TaskContext.getPartitionId())
+      it.map { p => val o = next; next += 1; (p, o) }
+    }.toDF("path", "ordinal")
       .withColumn("depth", size(split(col("path"), "/")))
       .withColumn("parent",
         when(col("depth") > lit(1),
           array_join(slice(split(col("path"), "/"), lit(1), size(split(col("path"), "/")) - 1), "/")))
+      .cache()
+    tax.count() // materialize before releasing the closure frame
+    paths.unpersist()
+    tax
   }
 
   /** Facet counts at every level of the hierarchy for the matched doc set:
