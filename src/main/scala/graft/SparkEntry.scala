@@ -146,6 +146,28 @@ object Indexes {
       IndexBuilder.build(docs, dir, IndexConfig(GermanAnalyzer(), withPositions = true))
     })
 
+  /** The `lang='de'` slice through the German chain WITH compound-word
+    * decomposition ([[graft.core.CompoundWordDictionary]], the
+    * `DictionaryCompoundWordTokenFilter` analog): each token's dictionary
+    * subwords stack at its position and flow through the light stemmer, so
+    * a subword query recalls the compounds containing it. The dictionary is
+    * chosen so every decomposition on this closed vocabulary is exact in
+    * the oracle: customer→{cust,tom}, window→{win,dow}, spark→{park},
+    * table→{tab,able}, column→{col,umn}. */
+  def compoundGermanIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#decompound", {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-decomp-").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("lang") === "de")
+        .select(col("doc_id").as("docId"), col("text"))
+        .as[InputDoc]
+      IndexBuilder.build(docs, dir, IndexConfig(
+        GermanAnalyzer(compound = Some(CompoundWordDictionary(Set(
+          "cust", "tom", "win", "dow", "park", "tab", "able", "col", "umn")))),
+        withPositions = true))
+    })
+
   /** `lang='fr'` slice through the French chain ([[graft.core.FrenchAnalyzer]]:
     * tokenize → lowercase → elision → stop(FR) → light stem). */
   def frenchIndex(spark: SparkSession, sfDir: String): InvertedIndex =
@@ -1040,6 +1062,38 @@ object SparkEntry {
       searcher.search(q, 10).collect()
       searcher.search(q, 10).collect()
       topk(searcher.scored(q), 10)
+    }),
+    "q127_span_not" -> ((s, dir) => {
+      // SpanNotQuery with asymmetric pre/post: in-order group..key spans
+      // (≤ 4 gap positions) with no 'the' within 1 position before or 2
+      // after the span — exercises the NotNear lowering
+      // (SpanNotQuery.java:202-210 inequality) through the distributed
+      // interval path. Doc-level exact: term excludes enumerate every
+      // occurrence, and an exclude rejecting a contained minimal interval
+      // rejects its containing span (monotone in both edges)
+      docSet(Indexes.searcher(s, dir).scored(SpanQuery(
+        Spans.SpanNot(
+          Spans.SpanNear(Seq(Spans.SpanTerm("group"), Spans.SpanTerm("key")),
+            slop = 4, inOrder = true),
+          Spans.SpanTerm("the"), pre = 1, post = 2))))
+    }),
+    "q128_span_first" -> ((s, dir) => {
+      // SpanFirstQuery over a SpanOr: 'spark' or 'hash' ending strictly
+      // before position 3 (exclusive endPosition ≤ 3), i.e. a hit in the
+      // first three token slots — SpanPositionRangeQuery.acceptPosition
+      // semantics via the FirstEnding interval filter
+      docSet(Indexes.searcher(s, dir).scored(SpanQuery(
+        Spans.SpanFirst(
+          Spans.SpanOr(Seq(Spans.SpanTerm("spark"), Spans.SpanTerm("hash"))),
+          end = 3))))
+    }),
+    "q129_compound_german" -> ((s, dir) => {
+      // German chain + DictionaryCompoundWordTokenFilter analog on the
+      // lang='de' slice: 'window' stacks subwords win+dow at its position,
+      // so the subword query 'dow' recalls every window-compound doc, with
+      // document lengths counting the stacked subword tokens
+      topk(new Searcher(Indexes.compoundGermanIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("dow")), 10)
     }),
     "q126_estonian_stem" -> ((s, dir) => {
       // Estonian chain on the doc_id % 11 = 10 shard; the suffix grammar is
@@ -2636,6 +2690,67 @@ object SparkEntry {
     "q125_cached_filter" -> topkSql(
       s"""SELECT a.doc_id, a.score FROM (${termScoreSql("spark")}) a
          |WHERE a.doc_id IN (SELECT doc_id FROM toks WHERE term LIKE 'st%')""".stripMargin, 10),
+    // German chain + compound decomposition: toks = stemmed originals plus
+    // the dictionary subwords each compound stacks at its position (stemmed
+    // through the same light stemmer); dl counts the stacked tokens. The
+    // (raw term → stemmed subword) mapping is exact on this closed
+    // vocabulary — see Indexes.compoundGermanIndex
+    "q129_compound_german" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+         |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+         |  FROM documents WHERE lang = 'de'
+         |), toks0 AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+         |  FROM raw WHERE term <> ''
+         |), subs(w, sub) AS (
+         |  SELECT * FROM (VALUES
+         |    ('customer','cust'),('customer','tom'),('window','win'),
+         |    ('window','dow'),('spark','park'),('table','tab'),
+         |    ('table','abl'),('column','col'),('column','umn'))
+         |), toks AS (
+         |  SELECT doc_id, ${germanStemSql("term")} AS term, pos
+         |  FROM toks0 WHERE term NOT IN ($GermanStopList)
+         |  UNION ALL
+         |  SELECT t.doc_id, s.sub AS term, t.pos
+         |  FROM toks0 t JOIN subs s ON t.term = s.w
+         |  WHERE t.term NOT IN ($GermanStopList)
+         |), quant(q) AS (
+         |  SELECT * FROM (VALUES $QuantValues)
+         |), dl0 AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), dl AS (
+         |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM documents WHERE lang = 'de') AS n,
+         |         (SELECT sum(dl) FROM dl0)::DOUBLE
+         |           / (SELECT count(*) FROM documents WHERE lang = 'de') AS avgdl
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("dow")}) scored
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // SpanNot: an in-order group..key pair (gap ≤ 4) survives iff no 'the'
+    // lies in [start − pre, end + post] = [a.pos − 1, b.pos + 2]
+    "q127_span_not" ->
+      s"""$CTE
+         |SELECT DISTINCT a.doc_id FROM toks a
+         |JOIN toks b ON b.doc_id = a.doc_id AND b.term = 'key'
+         |  AND a.pos < b.pos AND b.pos - a.pos - 1 <= 4
+         |WHERE a.term = 'group'
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM toks c
+         |    WHERE c.doc_id = a.doc_id AND c.term = 'the'
+         |      AND c.pos >= a.pos - 1 AND c.pos <= b.pos + 2)
+         |ORDER BY a.doc_id""".stripMargin,
+
+    // SpanFirst: a single-token span at pos p has exclusive end p + 1 ≤ 3
+    "q128_span_first" ->
+      s"""$CTE
+         |SELECT DISTINCT doc_id FROM toks
+         |WHERE term IN ('spark', 'hash') AND pos < 3
+         |ORDER BY doc_id""".stripMargin,
+
     "q126_estonian_stem" ->
       snowballChainSql(10, EstonianStopList, Map.empty, "spark", divisor = 11),
     "q124_basque_stem" -> snowballChainSql(9, BasqueStopList, Map(

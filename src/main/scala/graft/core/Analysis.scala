@@ -605,14 +605,79 @@ object GermanLightStem extends Serializable {
   }
 }
 
+/** Dictionary-driven compound-word decomposition — the reference's
+  * `DictionaryCompoundWordTokenFilter`
+  * (`lucene/analysis/common/src/java/org/apache/lucene/analysis/compound/
+  * DictionaryCompoundWordTokenFilterBase.java:38`,
+  * `DictionaryCompoundWordTokenFilter.java:74-105`): brute-force substring
+  * scan of each token ≥ `minWordSize` against a case-insensitive dictionary;
+  * every dictionary hit of length in [`minSubwordSize`, `maxSubwordSize`]
+  * becomes an extra token STACKED at the original's position (posInc 0 in
+  * the reference — here: same `position`, like synonym stacking), with the
+  * ORIGINAL token always passing through first. `onlyLongestMatch` keeps
+  * only the longest hit per start offset; `onlyLongestMatchNoSubwords`
+  * additionally skips the scan past each kept hit (so a hit's own infixes
+  * are never emitted). Subword text is the SUBSTRING of the input token,
+  * not the dictionary entry — "Bildörr" with {"Dörr"} emits "dörr".
+  * Parity: CompoundSpec replays the reference's
+  * `TestCompoundWordTokenFilter` vectors. */
+final case class CompoundWordDictionary(
+    words: Set[String],
+    minWordSize: Int = 5,
+    minSubwordSize: Int = 2,
+    maxSubwordSize: Int = 15,
+    onlyLongestMatch: Boolean = false,
+    onlyLongestMatchNoSubwords: Boolean = false) extends Serializable {
+
+  private val dict: Set[String] = words.map(_.toLowerCase(java.util.Locale.ROOT))
+
+  /** Subwords of `term` in scan order (term itself NOT included). */
+  def decompose(term: String): Seq[String] = {
+    if (term.length < minWordSize) return Nil
+    val lower = term.toLowerCase(java.util.Locale.ROOT)
+    val len = term.length
+    val out = Seq.newBuilder[String]
+    val longest = onlyLongestMatch || onlyLongestMatchNoSubwords
+    var i = 0
+    while (i <= len - minSubwordSize) {
+      var best = -1
+      var j = minSubwordSize
+      var break = false
+      while (!break && j <= maxSubwordSize) {
+        if (i + j > len) break = true
+        else {
+          if (dict.contains(lower.substring(i, i + j))) {
+            if (longest) { if (best < j) best = j }
+            else out += term.substring(i, i + j)
+          }
+          j += 1
+        }
+      }
+      if (best > 0) {
+        out += term.substring(i, i + best)
+        if (onlyLongestMatchNoSubwords) i += best - 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+}
+
 /** German analysis chain through the per-language registry — the reference's
   * `GermanAnalyzer` shape
   * (`lucene/analysis/common/src/java/org/apache/lucene/analysis/de/GermanAnalyzer.java`):
-  * tokenize → lowercase → stop(DE, position increments kept) → light stem.
+  * tokenize → lowercase → stop(DE, position increments kept) →
+  * [compound decomposition when a dictionary is given] → light stem.
   * The stop set is a representative high-frequency subset of the snowball
   * German list the reference loads from `german_stop.txt` (the full list is a
-  * data file, not an algorithm; the subset keeps the oracle SQL readable). */
-final case class GermanAnalyzer(stopWords: Set[String] = Analyzers.GermanStopWords)
+  * data file, not an algorithm; the subset keeps the oracle SQL readable).
+  * A non-empty `compound` dictionary stacks each token's dictionary
+  * subwords at its position before stemming (the Germanic-compound recall
+  * chain the reference assembles from `DictionaryCompoundWordTokenFilter`);
+  * subwords flow through the same stemmer as their parents. */
+final case class GermanAnalyzer(
+    stopWords: Set[String] = Analyzers.GermanStopWords,
+    compound: Option[CompoundWordDictionary] = None)
     extends Analyzer {
   override val name = "german"
   override def tokenize(text: String): IndexedSeq[Token] = {
@@ -626,6 +691,10 @@ final case class GermanAnalyzer(stopWords: Set[String] = Analyzers.GermanStopWor
       if (!stopWords.contains(t.term)) {
         val stemmed = GermanLightStem.stem(t.term)
         sink.accept(stemmed, 0, stemmed.length, t.position)
+        compound.foreach(_.decompose(t.term).foreach { sub =>
+          val ss = GermanLightStem.stem(sub)
+          sink.accept(ss, 0, ss.length, t.position)
+        })
       }
     }
 }

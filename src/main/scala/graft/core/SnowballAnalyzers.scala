@@ -143,10 +143,16 @@ final case class DanishAnalyzer(stopWords: Set[String] = SnowballAnalyzers.Danis
 }
 
 /** Dutch analysis chain: standard → lowercase → stop(NL) → override dict →
-  * snowball. */
+  * [compound decomposition when a dictionary is given] → snowball. Like
+  * [[graft.core.GermanAnalyzer]], a non-empty `compound` dictionary stacks
+  * each surviving token's dictionary subwords at its position, and subwords
+  * flow through the same override-then-snowball stemming as their parents
+  * (the Dutch compound recall chain assembled from the reference's
+  * `DictionaryCompoundWordTokenFilter`). */
 final case class DutchAnalyzer(
     stopWords: Set[String] = SnowballAnalyzers.DutchStopWords,
-    stemOverrides: Map[String, String] = SnowballAnalyzers.DutchStemOverrides)
+    stemOverrides: Map[String, String] = SnowballAnalyzers.DutchStemOverrides,
+    compound: Option[CompoundWordDictionary] = None)
     extends Analyzer {
   override val name = "dutch"
   override def tokenize(text: String): IndexedSeq[Token] = {
@@ -159,8 +165,12 @@ final case class DutchAnalyzer(
     SnowballAnalyzers.standardRawTokens(text).foreach { raw =>
       val lower = raw.toLowerCase(java.util.Locale.ROOT)
       if (!stopWords.contains(lower)) {
-        val stemmed = stemOverrides.getOrElse(lower, DutchSnowball.stem(lower))
-        sink.accept(stemmed, 0, stemmed.length, pos)
+        def emit(t: String): Unit = {
+          val stemmed = stemOverrides.getOrElse(t, DutchSnowball.stem(t))
+          sink.accept(stemmed, 0, stemmed.length, pos)
+        }
+        emit(lower)
+        compound.foreach(_.decompose(lower).foreach(emit))
       }
       pos += 1
     }

@@ -556,6 +556,19 @@ final class InvertedIndex private (
     parent.isEmpty &&
       !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/merge_manifest"))
 
+  /** Stable identity of this reader's VISIBLE data: directory + pinned
+    * snapshot version + parent chain. Segment data is immutable and a
+    * reader's snapshot is fixed for its lifetime, so equal keys ⇒ identical
+    * postings. This is the binding key for
+    * [[graft.search.LRUQueryCache]] — the analog of the reference keying
+    * cached DocIdSets per segment core key (`LRUQueryCache.java`): a cache
+    * bound to one key must be discarded when the index changes (a
+    * delete/append/merge commits a NEW snapshot version, so a reader over
+    * the refreshed index gets a different key and refuses the stale cache). */
+  lazy val identityKey: String =
+    s"$dir@${snapshot.map(_.version).getOrElse(-1)}" +
+      parent.map(p => "<-" + p.identityKey).getOrElse("")
+
   // Shared plan instances (@transient: an InvertedIndex travels into task
   // closures; DataFrames must not) — one instance per view means a caller's
   // `.cache()` (see [[warm]]) applies to every subsequent query.

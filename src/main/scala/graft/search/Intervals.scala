@@ -78,6 +78,22 @@ object Intervals {
   final case class NonOverlapping(minuend: IntervalsSource, subtrahend: IntervalsSource) extends IntervalsSource {
     def terms = minuend.terms ++ subtrahend.terms
   }
+  /** minuend intervals with no subtrahend interval within `pre` positions
+    * before or `post` positions after — the [[Spans.SpanNot]] adapter
+    * (`lucene/queries/src/java/org/apache/lucene/queries/spans/
+    * SpanNotQuery.java:202-210`: an exclude span [xs,xe) rejects a candidate
+    * [s,e) unless xe ≤ s − pre or xs − post ≥ e; on inclusive intervals the
+    * rejection is exactly `sa ≤ b + post ∧ sb ≥ a − pre`). Not a reference
+    * Intervals factory method. Deliberately NOT lowered onto
+    * `NonOverlapping(m, Extend(sub, …))`: Extend re-minimalizes, and its
+    * clamp-at-0 can create containment that drops a widened exclude whose
+    * extremities the kept one misses — the widening must apply at the
+    * overlap test, not to the enumerated set. `pre = post = 0` degenerates
+    * to [[NonOverlapping]]. */
+  final case class NotNear(pre: Int, post: Int, minuend: IntervalsSource,
+                           subtrahend: IntervalsSource) extends IntervalsSource {
+    def terms = minuend.terms ++ subtrahend.terms
+  }
   /** source intervals that end before some reference interval starts —
     * the reference's `before` = containedBy(source, extend(offset(ref,
     * start), MAX, 0)); evaluated directly to avoid the offset machinery */
@@ -88,6 +104,17 @@ object Intervals {
     * (`Intervals.after`) */
   final case class After(source: IntervalsSource, reference: IntervalsSource) extends IntervalsSource {
     def terms = source.terms ++ reference.terms
+  }
+
+  /** intervals whose end position is < `endLimit` — the [[Spans.SpanFirst]]
+    * adapter (`lucene/queries/src/java/org/apache/lucene/queries/spans/
+    * SpanFirstQuery.java:35`: spans with exclusive endPosition() ≤ end,
+    * hence inclusive interval end < endLimit). Not a reference Intervals
+    * factory method; introduced so SpanFirst lowers onto this machinery.
+    * Doc-level exact under minimal-interval filtering: any qualifying span
+    * contains a minimal interval ending no later. */
+  final case class FirstEnding(endLimit: Int, s: IntervalsSource) extends IntervalsSource {
+    def terms = s.terms
   }
 
   /** intervals spanning ≥ `minShouldMatch` of the sub-sources
@@ -164,6 +191,7 @@ object Intervals {
       }
     case MaxWidth(_, s) => requiredTerms(s)
     case MaxGaps(_, s) => requiredTerms(s)
+    case FirstEnding(_, s) => requiredTerms(s)
     case Extend(s, _, _) => requiredTerms(s)
     case Containing(big, small) => requiredTerms(big) ++ requiredTerms(small)
     case ContainedBy(small, big) => requiredTerms(small) ++ requiredTerms(big)
@@ -173,6 +201,7 @@ object Intervals {
     case NotContainedBy(s, _) => requiredTerms(s)
     case Overlapping(s, r) => requiredTerms(s) ++ requiredTerms(r)
     case NonOverlapping(m, _) => requiredTerms(m)
+    case NotNear(_, _, m, _) => requiredTerms(m)
     case Before(s, r) => requiredTerms(s) ++ requiredTerms(r)
     case After(s, r) => requiredTerms(s) ++ requiredTerms(r)
     case _: Prefix | _: Wildcard => Set.empty // unknown until expansion
@@ -280,6 +309,9 @@ object IntervalEval extends Serializable {
     case Intervals.MaxGaps(g, s) =>
       evalL(s, positions).filter { case (a, b, k) => (b - a + 1) - k <= g }
 
+    case Intervals.FirstEnding(limit, s) =>
+      evalL(s, positions).filter { case (_, b, _) => b < limit }
+
     case Intervals.Containing(big, small) =>
       val smalls = evalL(small, positions)
       evalL(big, positions).filter { case (a, b, _) =>
@@ -322,6 +354,15 @@ object IntervalEval extends Serializable {
       val subs = evalL(subtrahend, positions)
       evalL(minuend, positions).filter { case (a, b, _) =>
         !subs.exists { case (sa, sb, _) => a <= sb && sa <= b }
+      }
+
+    case Intervals.NotNear(pre, post, minuend, subtrahend) =>
+      // SpanNotQuery.java:202-210 inequality on inclusive intervals: the
+      // exclude [sa,sb] rejects [a,b] iff sa ≤ b + post ∧ sb ≥ a − pre
+      val subs = evalL(subtrahend, positions)
+      evalL(minuend, positions).filter { case (a, b, _) =>
+        !subs.exists { case (sa, sb, _) =>
+          sa.toLong <= b.toLong + post && sb.toLong >= a.toLong - pre }
       }
 
     case Intervals.Before(source, reference) =>

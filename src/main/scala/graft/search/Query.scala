@@ -104,6 +104,14 @@ final case class DisjunctionMaxQuery(disjuncts: Seq[Query], tieBreaker: Float = 
   * `lucene/core/src/java/org/apache/lucene/search/SloppyPhraseMatcher.java:54`. */
 final case class SpanNearQuery(terms: Seq[String], slop: Int, inOrder: Boolean) extends Query
 
+/** Span-algebra query — SpanOr/SpanNot/SpanFirst/SpanContaining/SpanWithin
+  * composed over a [[SpanSource]] tree, evaluated by lowering onto the
+  * interval machinery ([[Spans.toIntervals]]; doc-level-exact, see
+  * [[Spans]] scaladoc). Constant-score doc-set predicate like
+  * [[SpanNearQuery]]/[[IntervalQuery]]. Reference:
+  * `lucene/queries/src/java/org/apache/lucene/queries/spans/SpanQuery.java`. */
+final case class SpanQuery(span: SpanSource) extends Query
+
 /** Interval-algebra query: docs with ≥ 1 minimal interval matching `source`
   * (constant-score doc-set predicate; see [[IntervalsSource]]). Reference:
   * `lucene/queries/src/java/org/apache/lucene/queries/intervals/IntervalQuery.java:48`. */

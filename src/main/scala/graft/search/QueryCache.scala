@@ -19,18 +19,27 @@ final class UsageTrackingQueryCachingPolicy(historySize: Int = 256) {
 
   private val recent = new java.util.ArrayDeque[Query]()
 
+  private val freq = new java.util.HashMap[Query, Integer]()
+
   /** Record a use of `q` in the ring of recent filters
-    * (`UsageTrackingQueryCachingPolicy.onUse`). */
+    * (`UsageTrackingQueryCachingPolicy.onUse`). Called on EVERY use — cache
+    * hits included, like the reference's ring buffer — so after LRU
+    * eviction a hot filter re-admits from its accumulated history instead
+    * of from zero. A frequency map rides beside the deque: O(1) lookups
+    * under the cache lock instead of an O(historySize) scan. */
   def onUse(q: Query): Unit = synchronized {
     recent.addLast(q)
-    if (recent.size > historySize) recent.removeFirst()
+    freq.merge(q, 1, (a, b) => a + b)
+    if (recent.size > historySize) {
+      val old = recent.removeFirst()
+      val left = freq.merge(old, -1, (a, b) => a + b)
+      if (left <= 0) freq.remove(old)
+    }
   }
 
   private def frequency(q: Query): Int = synchronized {
-    var n = 0
-    val it = recent.iterator()
-    while (it.hasNext) if (it.next() == q) n += 1
-    n
+    val n = freq.get(q)
+    if (n == null) 0 else n.intValue()
   }
 
   /** Queries never worth caching (`shouldNeverCache`): a term lookup is
@@ -53,36 +62,72 @@ final class UsageTrackingQueryCachingPolicy(historySize: Int = 256) {
     !shouldNeverCache(q) && frequency(q) >= minFrequencyToCache(q)
 }
 
-/** LRU cache of persisted filter frames, bounded by entry count. */
+/** LRU cache of persisted filter frames, bounded by entry count.
+  *
+  * A cache instance is BOUND to one index identity
+  * ([[graft.index.InvertedIndex.identityKey]]) on first use and refuses any
+  * other — the reference keys cached DocIdSets per segment core key and
+  * drops them when segments change; here a persisted docId frame served
+  * against a different snapshot would silently be stale. A
+  * delete/append/merge commits a new snapshot version ⇒ new identity ⇒ a
+  * [[Searcher]] over the refreshed index rejects the old cache at
+  * construction (discard it and build a new one).
+  *
+  * Frames wider than `maxFrameFraction` of the bound index's doc count are
+  * computed but NOT retained (the reference's skip-caching-when-not-
+  * worthwhile guard, `LRUQueryCache.java` skipCacheFactor family): a
+  * near-match-all filter costs cluster-cache memory proportional to the
+  * corpus and saves almost nothing over re-deriving it — at 10^12 docs a
+  * 90%-density frame is ~the corpus itself. */
 final class LRUQueryCache(
     maxEntries: Int = 64,
-    val policy: UsageTrackingQueryCachingPolicy = new UsageTrackingQueryCachingPolicy()) {
+    val policy: UsageTrackingQueryCachingPolicy = new UsageTrackingQueryCachingPolicy(),
+    maxFrameFraction: Double = 0.9) {
 
   private val entries =
     new java.util.LinkedHashMap[Query, DataFrame](16, 0.75f, /*accessOrder=*/ true)
 
   private var hits = 0L
   private var misses = 0L
+  private var skippedLarge = 0L
+  private var boundKey: String = null
+  private var boundDocCount: Long = Long.MaxValue
 
   def hitCount: Long = synchronized(hits)
   def missCount: Long = synchronized(misses)
+  /** frames computed but not retained because they exceeded the size budget */
+  def skippedLargeCount: Long = synchronized(skippedLarge)
+  def boundIndexKey: Option[String] = synchronized(Option(boundKey))
   def cachedQueries: Set[Query] = synchronized {
     import scala.jdk.CollectionConverters._
     entries.keySet().asScala.toSet
   }
 
+  /** Bind this cache to one index identity (first call wins). Returns false
+    * when already bound to a DIFFERENT identity — the caller must refuse
+    * the cache rather than serve stale frames. */
+  def bind(indexKey: String, docCount: Long): Boolean = synchronized {
+    if (boundKey == null) { boundKey = indexKey; boundDocCount = docCount; true }
+    else boundKey == indexKey
+  }
+
   /** The docId frame of FILTER query `q`: served from cache when present;
     * otherwise computed via `compute`, and — once the policy has seen
-    * enough uses — persisted into the cluster cache and retained LRU
-    * (evicted entries are unpersisted). */
+    * enough uses and the frame fits the size budget — persisted into the
+    * cluster cache and retained LRU (evicted entries are unpersisted). */
   def filterDocs(q: Query, compute: () => DataFrame): DataFrame = synchronized {
+    policy.onUse(q) // every use, hits included (reference ring-buffer contract)
     val hit = entries.get(q)
     if (hit != null) { hits += 1; return hit }
     misses += 1
-    policy.onUse(q)
     val frame = compute()
     if (policy.shouldCache(q)) {
       val persisted = frame.persist()
+      if (persisted.count() > maxFrameFraction * boundDocCount) {
+        persisted.unpersist()
+        skippedLarge += 1
+        return frame
+      }
       entries.put(q, persisted)
       if (entries.size > maxEntries) {
         val it = entries.entrySet().iterator()

@@ -100,6 +100,8 @@ object Monitor {
         (must.nonEmpty || filter.nonEmpty || should.nonEmpty)
     case IntervalQuery(src) =>
       IntervalEval.matches(src, doc.positions)
+    case SpanQuery(s) =>
+      IntervalEval.matches(Spans.toIntervals(s), doc.positions)
     case _: DocIdRangeQuery =>
       // a DocView has no doc id — fail the registration, not the micro-batch
       throw new UnsupportedOperationException(
@@ -131,7 +133,11 @@ object Monitor {
     case MatchAllDocsQuery | MatchNoDocsQuery => ()
     case _: TermQuery | _: SynonymQuery | _: TermInSetQuery | _: PrefixQuery |
          _: WildcardQuery | _: RegexpQuery | _: FuzzyQuery | _: TermRangeQuery |
-         _: PhraseQuery | _: MultiPhraseQuery | _: SpanNearQuery | _: IntervalQuery => ()
+         _: PhraseQuery | _: MultiPhraseQuery | _: SpanNearQuery | _: IntervalQuery |
+         _: SpanQuery => ()
+    case other => // Scored* rewrites need index-wide stats; see matches()
+      throw new IllegalArgumentException(
+        s"unsupported monitor rule: ${other.getClass.getSimpleName} cannot be percolated")
   }
 
   private def validateAll(queries: Seq[(String, Query)]): Unit =
@@ -163,6 +169,7 @@ object Monitor {
     case MultiPhraseQuery(ps) => ps.headOption.map(_.toSet)
     case SpanNearQuery(ts, _, _) => ts.headOption.map(Set(_))
     case IntervalQuery(src) => Some(src.terms) // every leaf mode needs ≥1 of them
+    case SpanQuery(s) => Some(Spans.toIntervals(s).terms)
     case BoostQuery(inner, _) => guardTerms(inner)
     case ConstantScoreQuery(inner) => guardTerms(inner)
     case DisjunctionMaxQuery(ds, _) =>

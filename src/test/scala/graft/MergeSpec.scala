@@ -49,6 +49,36 @@ class MergeSpec extends AnyFunSuite {
     assert(violations.isEmpty, violations.take(5).mkString("; "))
   }
 
+  test("Or-rooted interval on a MERGED index decomposes per branch: no positional union, results exact") {
+    val (merged, _) = mergedPair
+    val s = new Searcher(merged, ScoringMode.PreciseBM25())
+    // head-term disjunction — no required term gates the whole source, but
+    // the root decomposes: the bare term branch is a doc-ids-only decode and
+    // the Ordered branch leapfrogs off its own rarest required term
+    def brute(src: graft.search.IntervalsSource): Set[Long] =
+      corpus.collect { case (doc, toks)
+        if graft.search.IntervalEval.matches(src,
+          toks.groupBy(_.term).map { case (t, ts) => t -> ts.map(_.position).toArray.sorted })
+        => doc }.toSet
+    // term-only head Or: NO positional decode anywhere — doc-ids-only
+    // postings scans unioned, no collect_list/plists aggregation in the plan
+    val termOr = Intervals.Or(Seq(Intervals.Term("spark"), Intervals.Term("fast")))
+    val termFrame = s.scored(IntervalQuery(termOr))
+    val plan = termFrame.queryExecution.executedPlan.toString
+    assert(!plan.contains("plists") && !plan.contains("collect_list"),
+      s"term-only Or-root interval must not union positional postings into a doc-keyed shuffle:\n$plan")
+    assert(termFrame.collect().map(_.getLong(0)).toSet == brute(termOr))
+    // mixed Or: the Ordered branch re-enters with its OWN required-term lead
+    // (its positional aggregation is the accepted lead-filtered shape); the
+    // union stays exact
+    val mixed = Intervals.Or(Seq(
+      Intervals.Term("spark"),
+      Intervals.Ordered(Seq(Intervals.Term("fast"), Intervals.Term("data")))))
+    val got = s.scored(IntervalQuery(mixed)).collect().map(_.getLong(0)).toSet
+    assert(got == brute(mixed))
+    assert(got.nonEmpty)
+  }
+
   test("pruned boolean top-k is exact on a MERGED index (doc-alignment fallback)") {
     // merged postings are re-sharded by (term, salt): one doc's terms live in
     // different merged "segments", so the per-segment WAND loop would sum
