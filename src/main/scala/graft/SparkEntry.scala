@@ -302,6 +302,26 @@ object Indexes {
   def estonianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
     snowballShard(spark, sfDir, "et", 10, EstonianAnalyzer(), divisor = 11)
 
+  /** The reference's `TestThaiAnalyzer` phrase appended to every doc of the
+    * `doc_id % 13 = 6` shard, indexed through the Thai chain
+    * ([[graft.core.ThaiAnalyzer]]: dictionary word-break → lowercase → digit
+    * fold → stop(TH)). The corpus's ASCII part word-splits identically under
+    * the Thai break iterator (no punctuation in the synthetic text), so the
+    * oracle replays ascii tokens + the three constant surviving Thai tokens
+    * at their stop-hole positions; segmentation itself is pinned by
+    * ThaiSpec's reference vectors. */
+  def thaiIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#th", {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-th-").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 13 === 6)
+        .select(col("doc_id").as("docId"),
+          concat(col("text"), lit(" การที่ได้ต้องแสดงว่างานดี")).as("text"))
+        .as[InputDoc]
+      IndexBuilder.build(docs, dir, IndexConfig(ThaiAnalyzer(), withPositions = true))
+    })
+
   /** The `lang='zh'` corpus slice indexed through the CJK chain
     * ([[graft.core.CjkAnalyzer]]: tokenize → width fold → lowercase → CJK
     * bigrams → stop, reference `CJKAnalyzer` composition). The synthetic zh
@@ -1094,6 +1114,14 @@ object SparkEntry {
       // document lengths counting the stacked subword tokens
       topk(new Searcher(Indexes.compoundGermanIndex(s, dir), ScoringMode.PreciseBM25())
         .scored(TermQuery("dow")), 10)
+    }),
+    "q130_thai_chain" -> ((s, dir) => {
+      // Thai chain on the doc_id % 13 = 6 shard with the reference test
+      // phrase appended: exact phrase "งาน ดี" only matches when the
+      // dictionary segmentation produced both words AND the stop filter
+      // left ว่า's position hole (งาน@n+6, ดี@n+7 adjacent)
+      topk(new Searcher(Indexes.thaiIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(PhraseQuery(Seq("งาน", "ดี"))), 10)
     }),
     "q126_estonian_stem" -> ((s, dir) => {
       // Estonian chain on the doc_id % 11 = 10 shard; the suffix grammar is
@@ -2753,6 +2781,38 @@ object SparkEntry {
 
     "q126_estonian_stem" ->
       snowballChainSql(10, EstonianStopList, Map.empty, "spark", divisor = 11),
+
+    // Thai chain: ascii tokens word-split identically under the th break
+    // iterator; the appended reference phrase contributes exactly three
+    // surviving tokens แสดง/งาน/ดี at stop-hole positions n+4/n+6/n+7
+    // (ThaiSpec pins that segmentation against the reference's vectors)
+    "q130_thai_chain" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+         |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+         |  FROM documents WHERE doc_id % 13 = 6
+         |), toks0 AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+         |  FROM raw WHERE term <> ''
+         |), acount AS (
+         |  SELECT doc_id, count(*) AS n FROM toks0 GROUP BY doc_id
+         |), toks AS (
+         |  SELECT doc_id, term, pos FROM toks0
+         |  UNION ALL
+         |  SELECT a.doc_id, t.term, a.n + t.off AS pos
+         |  FROM acount a CROSS JOIN (VALUES ('แสดง', 4), ('งาน', 6), ('ดี', 7)) t(term, off)
+         |), quant(q) AS (
+         |  SELECT * FROM (VALUES $QuantValues)
+         |), dl0 AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), dl AS (
+         |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
+         |), stats AS (
+         |  SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (${phraseScoreSql("งาน", "ดี")}) scored
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
     "q124_basque_stem" -> snowballChainSql(9, BasqueStopList, Map(
       "merge" -> "mer", "table" -> "tab", "vector" -> "vect"),
       "tab", divisor = 11),

@@ -298,6 +298,25 @@ object Analyzers {
     "nende", "ning", "nüüd", "oled", "olen", "oli", "olid", "olla", "oma",
     "on", "sa", "seda", "see", "selle", "siis", "ta", "te", "vaid", "või")
 
+  /** The reference's full Thai stop list
+    * (`lucene/analysis/common/src/resources/org/apache/lucene/analysis/th/stopwords.txt`,
+    * 115 entries, the published Sukhum/Nitsuwat/Haruechaiyasak list). */
+  val ThaiStopWords: Set[String] = Set(
+    "ไว้", "ไม่", "ไป", "ได้", "ให้", "ใน", "โดย", "แห่ง", "แล้ว", "และ",
+    "แรก", "แบบ", "แต่", "เอง", "เห็น", "เลย", "เริ่ม", "เรา", "เมื่อ",
+    "เพื่อ", "เพราะ", "เป็นการ", "เป็น", "เปิดเผย", "เปิด", "เนื่องจาก",
+    "เดียวกัน", "เดียว", "เช่น", "เฉพาะ", "เคย", "เข้า", "เขา", "อีก",
+    "อาจ", "อะไร", "ออก", "อย่าง", "อยู่", "อยาก", "หาก", "หลาย",
+    "หลังจาก", "หลัง", "หรือ", "หนึ่ง", "ส่วน", "ส่ง", "สุด", "สําหรับ",
+    "ว่า", "วัน", "ลง", "ร่วม", "ราย", "รับ", "ระหว่าง", "รวม", "ยัง",
+    "มี", "มาก", "มา", "พร้อม", "พบ", "ผ่าน", "ผล", "บาง", "น่า", "นี้",
+    "นํา", "นั้น", "นัก", "นอกจาก", "ทุก", "ที่สุด", "ที่", "ทําให้",
+    "ทํา", "ทาง", "ทั้งนี้", "ทั้ง", "ถ้า", "ถูก", "ถึง", "ต้อง", "ต่างๆ",
+    "ต่าง", "ต่อ", "ตาม", "ตั้งแต่", "ตั้ง", "ด้าน", "ด้วย", "ดัง", "ซึ่ง",
+    "ช่วง", "จึง", "จาก", "จัด", "จะ", "คือ", "ความ", "ครั้ง", "คง",
+    "ขึ้น", "ของ", "ขอ", "ขณะ", "ก่อน", "ก็", "การ", "กับ", "กัน", "กว่า",
+    "กล่าว")
+
   def byName(name: String): Analyzer = name match {
     case "simple"         => SimpleAnalyzer
     case "standard"       => StandardLikeAnalyzer()
@@ -336,6 +355,7 @@ object Analyzers {
     case "catalan"        => CatalanAnalyzer()
     case "basque"         => BasqueAnalyzer()
     case "estonian"       => EstonianAnalyzer()
+    case "thai"           => ThaiAnalyzer()
     case "folding"        => AsciiFoldingAnalyzer()
     case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
       ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)
