@@ -302,6 +302,24 @@ object Indexes {
   def estonianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
     snowballShard(spark, sfDir, "et", 10, EstonianAnalyzer(), divisor = 11)
 
+  def teluguIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "te", 7, TeluguAnalyzer(), divisor = 13)
+
+  def nepaliIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "ne", 8, NepaliAnalyzer(), divisor = 13)
+
+  def tamilIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "ta", 9, TamilAnalyzer(), divisor = 13)
+
+  def serbianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "sr", 10, SerbianAnalyzer(), divisor = 13)
+
+  def galicianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "gl", 11, GalicianAnalyzer(), divisor = 13)
+
+  def brazilianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "br", 12, BrazilianAnalyzer(), divisor = 13)
+
   /** The reference's `TestThaiAnalyzer` phrase appended to every doc of the
     * `doc_id % 13 = 6` shard, indexed through the Thai chain
     * ([[graft.core.ThaiAnalyzer]]: dictionary word-break → lowercase → digit
@@ -1115,6 +1133,46 @@ object SparkEntry {
       topk(new Searcher(Indexes.compoundGermanIndex(s, dir), ScoringMode.PreciseBM25())
         .scored(TermQuery("dow")), 10)
     }),
+    "q131_telugu_chain" -> ((s, dir) => {
+      // Telugu chain on the doc_id % 13 = 7 shard; identity on the ASCII
+      // vocabulary (oracle = tokenize; TE stops/suffixes never match ASCII),
+      // the chain itself pinned by TeluguSpec's ~9.7k reference vectors
+      topk(new Searcher(Indexes.teluguIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("filter")), 10)
+    }),
+    "q132_nepali_chain" -> ((s, dir) => {
+      // Nepali chain on the doc_id % 13 = 8 shard; identity on the ASCII
+      // vocabulary (NE stops/suffixes are Devanagari), the chain itself
+      // pinned by NepaliTamilSpec's ~10.2k reference vectors
+      topk(new Searcher(Indexes.nepaliIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("merge")), 10)
+    }),
+    "q133_tamil_chain" -> ((s, dir) => {
+      // Tamil chain on the doc_id % 13 = 9 shard; identity on the ASCII
+      // vocabulary (TA stops/suffixes are Tamil script), the chain itself
+      // pinned by NepaliTamilSpec's ~9.9k reference vectors
+      topk(new Searcher(Indexes.tamilIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("stream")), 10)
+    }),
+    "q134_serbian_chain" -> ((s, dir) => {
+      // Serbian chain on the doc_id % 13 = 10 shard: merge → merg (step-3
+      // final-vowel drop in R1); the chain pinned by SerbianSpec's ~12.5k
+      // reference vectors over both scripts
+      topk(new Searcher(Indexes.serbianIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("merg")), 10)
+    }),
+    "q135_galician_chain" -> ((s, dir) => {
+      // Galician RSLP chain on the doc_id % 13 = 11 shard: table → tabl
+      // (Vowel step); pinned by GalicianBrazilianSpec's ~11.6k vectors
+      topk(new Searcher(Indexes.galicianIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("tabl")), 10)
+    }),
+    "q136_brazilian_chain" -> ((s, dir) => {
+      // Brazilian chain on the doc_id % 13 = 12 shard: value → valu (step-5
+      // final-e drop); pinned by GalicianBrazilianSpec's ~10.3k vectors
+      topk(new Searcher(Indexes.brazilianIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("valu")), 10)
+    }),
     "q130_thai_chain" -> ((s, dir) => {
       // Thai chain on the doc_id % 13 = 6 shard with the reference test
       // phrase appended: exact phrase "งาน ดี" only matches when the
@@ -1298,6 +1356,18 @@ object SparkEntry {
 
   private val EstonianStopList: String =
     Analyzers.EstonianStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val TeluguStopList: String =
+    Analyzers.TeluguStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val NepaliStopList: String =
+    Analyzers.NepaliStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val TamilStopList: String =
+    Analyzers.TamilStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val SerbianStopList: String =
+    Analyzers.SerbianStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val GalicianStopList: String =
+    Analyzers.GalicianStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  private val BrazilianStopList: String =
+    Analyzers.BrazilianStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
   private val BasqueStopList: String =
     Analyzers.BasqueStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
   private val CatalanStopList: String =
@@ -2781,6 +2851,35 @@ object SparkEntry {
 
     "q126_estonian_stem" ->
       snowballChainSql(10, EstonianStopList, Map.empty, "spark", divisor = 11),
+
+    "q131_telugu_chain" ->
+      snowballChainSql(7, TeluguStopList, Map.empty, "filter", divisor = 13),
+
+    "q132_nepali_chain" ->
+      snowballChainSql(8, NepaliStopList, Map.empty, "merge", divisor = 13),
+
+    "q133_tamil_chain" ->
+      snowballChainSql(9, TamilStopList, Map.empty, "stream", divisor = 13),
+
+    // reference-derived (word -> chain output) for the closed corpus
+    // vocabulary; only non-identity entries are listed
+    "q134_serbian_chain" -> snowballChainSql(10, SerbianStopList, Map(
+      "data" -> "dat", "line" -> "lin", "merge" -> "merg",
+      "stream" -> "strea", "table" -> "tabl", "value" -> "valu"),
+      "merg", divisor = 13),
+
+    "q135_galician_chain" -> snowballChainSql(11, GalicianStopList, Map(
+      "customer" -> "custom", "data" -> "dat", "filter" -> "filt",
+      "line" -> "lin", "merge" -> "merg", "order" -> "ord", "scan" -> "sc",
+      "stream" -> "str", "table" -> "tabl", "value" -> "valu",
+      "vector" -> "vec"),
+      "tabl", divisor = 13),
+
+    "q136_brazilian_chain" -> snowballChainSql(12, BrazilianStopList, Map(
+      "customer" -> "custom", "data" -> "dat", "filter" -> "filt",
+      "line" -> "lin", "merge" -> "merg", "stream" -> "stre",
+      "table" -> "tabl", "value" -> "valu"),
+      "valu", divisor = 13),
 
     // Thai chain: ascii tokens word-split identically under the th break
     // iterator; the appended reference phrase contributes exactly three

@@ -317,6 +317,138 @@ object Analyzers {
     "ขึ้น", "ของ", "ขอ", "ขณะ", "ก่อน", "ก็", "การ", "กับ", "กัน", "กว่า",
     "กล่าว")
 
+  /** The reference's Telugu stop list
+    * (`lucene/analysis/common/src/resources/org/apache/lucene/analysis/te/stopwords.txt`,
+    * 45 distinct entries; the two multi-word entries are kept verbatim like
+    * the reference's CharArraySet, though no single token can match them). */
+  val TeluguStopWords: Set[String] = Set(
+    "అందరూ", "అందుబాటులో", "అడగండి", "అడగడం", "అడ్డంగా", "అనుగుణంగా",
+    "అనుమతించు", "అనుమతిస్తుంది", "అయితే", "ఇప్పటికే", "ఉన్నారు",
+    "ఎక్కడైనా", "ఎప్పుడు", "ఎవరైనా", "ఎవరో ఒకరు", "ఏ", "ఏదైనా",
+    "ఏమైనప్పటికి", "ఒక", "ఒక ప్రక్కన", "కనిపిస్తాయి", "కాదు", "కూడా", "గా",
+    "గురించి", "చుట్టూ", "చేయగలిగింది", "తగిన", "తర్వాత", "దాదాపు",
+    "దూరంగా", "నిజంగా", "పై", "ప్రకారం", "మధ్య", "మరియు", "మరొక", "మళ్ళీ",
+    "మాత్రమే", "మెచ్చుకో", "వద్ద", "వెంట", "వేరుగా", "వ్యతిరేకంగా",
+    "సంబంధం")
+
+  /** The reference's Nepali stop list (`ne/stopwords.txt`, 254 distinct). */
+  val NepaliStopWords: Set[String] = Set(
+    "अक्सर", "अगाडी", "अझै", "अनुसार", "अन्तर्गत", "अन्य", "अन्यत्र",
+    "अन्यथा", "अब", "अरु", "अरुलाई", "अर्को", "अर्थात", "अर्थात्", "अलग",
+    "आए", "आजको", "आत्म", "आदि", "आफू", "आफूलाई", "आफ्नै", "आफ्नो", "आयो",
+    "उदाहरण", "उनको", "उनले", "उप", "उहालाई", "एउटै", "एक", "एकदम", "ओठ",
+    "औं", "कतै", "कम से कम", "कसरी", "कसै", "कसैले", "कहाँबाट",
+    "कहिलेकाहीं", "का", "कि", "किन", "किनभने", "कुनै", "कुरा", "कृपया",
+    "के", "केही", "को", "कोही", "क्रमशः", "गए", "गयौ", "गरि", "गरी",
+    "गरेका", "गरेको", "गरेर", "गरौं", "गर्छ", "गर्छु", "गर्दै", "गर्न",
+    "गर्नु", "गर्नुपर्छ", "गर्ने", "गैर", "चार", "चाले", "चाहनुहुन्छ",
+    "चाहन्छु", "चाहिए", "छ", "छन्", "छु", "छू", "छैन", "छौं", "जताततै",
+    "जब", "जबकि", "जसको", "जसबाट", "जसमा", "जसलाई", "जसले", "जस्तै",
+    "जस्तो", "जस्तोसुकै", "जहाँ", "जान", "जाहिर", "जुन", "जे", "जो", "ठीक",
+    "त", "तत्काल", "तथा", "तदनुसार", "तपाई", "तपाईको", "तर", "तल", "तापनी",
+    "तिनिहरुलाई", "तिनी", "तिनीहरुको", "तिनीहरू", "तिमी", "तिर", "ती",
+    "तीन", "तुरुन्तै", "तेस्कारण", "तेस्रो", "त्यहाँ", "त्यो", "त्सपछि",
+    "त्सैले", "थिए", "थिएन", "थियो", "दिए", "दिनुभएको", "दिनुहुन्छ", "दुई",
+    "देखि", "देखिन्छ", "देखियो", "देखे", "देखेको", "देखेर", "दोस्रो",
+    "धेरै", "न", "नजिकै", "नत्र", "नयाँ", "नि", "निम्ति", "निम्न",
+    "निम्नानुसार", "निर्दिष्ट", "नै", "नौ", "पक्का", "पक्कै", "पछि",
+    "पछिल्लो", "पटक", "पनि", "पर्छ", "पर्थ्यो", "पर्याप्त", "पहिले",
+    "पहिलो", "पहिल्यै", "पाँच", "पाँचौं", "पूर्व", "प्रति", "प्रतेक",
+    "प्लस", "फेरी", "बने", "बरु", "बारे", "बाहिर", "बाहेक", "बिरुद्ध",
+    "बिशेष", "बीच", "बीचमा", "भए", "भएको", "भन", "भने", "भन्", "भन्छन्",
+    "भन्छु", "भन्दा", "भन्नुभयो", "भन्ने", "भर", "भित्र", "भित्री", "म",
+    "मलाई", "मा", "मात्र", "माथि", "मुख्य", "मेरो", "यति", "यथोचित", "यदि",
+    "यद्यपि", "यस", "यसको", "यसपछि", "यसबाहेक", "यसरी", "यसो", "यस्तो",
+    "यहाँ", "यहाँसम्म", "या", "यी", "यो", "र", "रही", "रहेका", "रहेको",
+    "राखे", "राख्छ", "राम्रो", "रूप", "लगभग", "लाई", "लागि", "ले",
+    "वरीपरी", "वास्तवमा", "शायद", "संग", "संगै", "सक्छ", "सट्टा", "सधै",
+    "सबै", "सबैलाई", "समय", "सम्भव", "सम्म", "सही", "साँच्चै", "सात",
+    "साथ", "साथै", "सायद", "सारा", "सो", "सोही", "स्पष्ट", "हरे", "हरेक",
+    "हुन", "हुने", "हुन्", "हुन्छ", "हो")
+
+  /** The reference's Tamil stop list (`ta/stopwords.txt`, 125 distinct). */
+  val TamilStopWords: Set[String] = Set(
+    "அங்கு", "அங்கே", "அடுத்த", "அதனால்", "அதன்", "அதற்கு", "அதிக",
+    "அதில்", "அது", "அதே", "அதை", "அந்த", "அந்தக்", "அந்தப்", "அன்று",
+    "அல்லது", "அவன்", "அவரது", "அவர்", "அவர்கள்", "அவள்", "அவை", "ஆகிய",
+    "ஆகியோர்", "ஆகும்", "இங்கு", "இங்கே", "இடத்தில்", "இடம்", "இதனால்",
+    "இதனை", "இதன்", "இதற்கு", "இதில்", "இது", "இதை", "இந்த", "இந்தக்",
+    "இந்தத்", "இந்தப்", "இன்னும்", "இப்போது", "இரு", "இருக்கும்", "இருந்த",
+    "இருந்தது", "இருந்து", "இவர்", "இவை", "உன்", "உள்ள", "உள்ளது", "உள்ளன",
+    "எந்த", "என", "எனக்", "எனக்கு", "எனப்படும்", "எனவும்", "எனவே",
+    "எனினும்", "எனும்", "என்", "என்ன", "என்னும்", "என்பது", "என்பதை",
+    "என்ற", "என்று", "என்றும்", "எல்லாம்", "ஏன்", "ஒரு", "ஒரே", "ஓர்",
+    "கொண்ட", "கொண்டு", "கொள்ள", "சற்று", "சிறு", "சில", "சேர்ந்த", "தனது",
+    "தன்", "தவிர", "தான்", "நான்", "நாம்", "நீ", "பற்றி", "பற்றிய", "பல",
+    "பலரும்", "பல்வேறு", "பின்", "பின்னர்", "பிற", "பிறகு", "பெரும்",
+    "பேர்", "போது", "போன்ற", "போல", "போல்", "மட்டுமே", "மட்டும்", "மற்ற",
+    "மற்றும்", "மிக", "மிகவும்", "மீது", "முதல்", "முறை", "மேலும்", "மேல்",
+    "யார்", "வந்த", "வந்து", "வரும்", "வரை", "வரையில்", "விட", "விட்டு",
+    "வேண்டும்", "வேறு")
+
+  /** The reference's Serbian stop list (`sr/stopwords.txt`, 156 distinct). */
+  val SerbianStopWords: Set[String] = Set(
+    "a", "ali", "bi", "bih", "bila", "bile", "bili", "bilo", "bio", "bise",
+    "bismo", "biste", "biti", "biše", "bude", "budem", "budemo", "budes",
+    "budete", "budeš", "budimo", "budite", "budu", "ce", "cemo", "ces",
+    "cete", "cu", "i", "ili", "je", "jesam", "jesi", "jesmo", "jeste",
+    "jesu", "mogu", "moze", "mozemo", "mozes", "mozete", "može", "možemo",
+    "možete", "možeš", "ne", "nece", "necemo", "neces", "necete", "necu",
+    "neće", "nećemo", "nećete", "nećeš", "neću", "nije", "nijesam",
+    "nijesi", "nijesmo", "nijeste", "nijesu", "nisam", "nisi", "nismo",
+    "niste", "nisu", "pa", "sam", "si", "smo", "ste", "su", "će", "ćemo",
+    "ćete", "ćeš", "ću", "а", "али", "би", "била", "биле", "били", "било",
+    "био", "бисе", "бисмо", "бисте", "бити", "бих", "бише", "буде",
+    "будем", "будемо", "будес", "будете", "будеш", "будимо", "будите",
+    "буду", "и", "или", "могу", "може", "можемо", "можете", "можеш",
+    "мозе", "моземо", "мозес", "мозете", "не", "неце", "нецемо", "нецес",
+    "нецете", "нецу", "неће", "нећемо", "нећете", "нећеш", "нећу", "нисам",
+    "ниси", "нисмо", "нисте", "нису", "није", "нијесам", "нијеси",
+    "нијесмо", "нијесте", "нијесу", "па", "сам", "си", "смо", "сте", "су",
+    "це", "цемо", "цес", "цете", "цу", "је", "јесам", "јеси", "јесмо",
+    "јесте", "јесу", "ће", "ћемо", "ћете", "ћеш", "ћу")
+
+  /** The reference's Galician stop list (`gl/stopwords.txt`, 160 distinct). */
+  val GalicianStopWords: Set[String] = Set(
+    "a", "alí", "ao", "aos", "aquel", "aquela", "aquelas", "aqueles",
+    "aquilo", "aquí", "as", "así", "aínda", "ben", "cando", "che", "co",
+    "coa", "coas", "comigo", "con", "connosco", "contigo", "convosco",
+    "cos", "cun", "cunha", "cunhas", "cuns", "da", "dalgunha", "dalgunhas",
+    "dalgún", "dalgúns", "das", "de", "del", "dela", "delas", "deles",
+    "desde", "deste", "do", "dos", "dun", "dunha", "dunhas", "duns", "e",
+    "el", "ela", "elas", "eles", "en", "era", "eran", "esa", "esas", "ese",
+    "eses", "esta", "estaba", "estar", "este", "estes", "estiven", "estou",
+    "está", "están", "eu", "facer", "foi", "foron", "fun", "había", "hai",
+    "iso", "isto", "la", "las", "lle", "lles", "lo", "los", "mais", "me",
+    "meu", "meus", "min", "miña", "miñas", "moi", "na", "nas", "neste",
+    "nin", "no", "non", "nos", "nosa", "nosas", "noso", "nosos", "nun",
+    "nunha", "nunhas", "nuns", "nós", "o", "os", "ou", "para", "pero",
+    "pode", "pois", "pola", "polas", "polo", "polos", "por", "que", "se",
+    "senón", "ser", "seu", "seus", "sexa", "sido", "sobre", "súa", "súas",
+    "tamén", "tan", "te", "ten", "ter", "teu", "teus", "teñen", "teño",
+    "ti", "tido", "tiven", "tiña", "túa", "túas", "un", "unha", "unhas",
+    "uns", "vos", "vosa", "vosas", "voso", "vosos", "vós", "á", "é", "ó",
+    "ós")
+
+  /** The reference's Brazilian stop list (`br/stopwords.txt`, 127 distinct). */
+  val BrazilianStopWords: Set[String] = Set(
+    "a", "ainda", "alem", "ambas", "ambos", "antes", "ao", "aonde", "aos",
+    "apos", "aquele", "aqueles", "as", "assim", "com", "como", "contra",
+    "contudo", "cuja", "cujas", "cujo", "cujos", "da", "das", "de", "dela",
+    "dele", "deles", "demais", "depois", "desde", "desta", "deste",
+    "dispoe", "dispoem", "diversa", "diversas", "diversos", "do", "dos",
+    "durante", "e", "ela", "elas", "ele", "eles", "em", "entao", "entre",
+    "essa", "essas", "esse", "esses", "esta", "estas", "este", "estes",
+    "ha", "isso", "isto", "logo", "mais", "mas", "mediante", "menos",
+    "mesma", "mesmas", "mesmo", "mesmos", "na", "nao", "nas", "nem",
+    "nesse", "neste", "no", "nos", "o", "os", "ou", "outra", "outras",
+    "outro", "outros", "pelas", "pelo", "pelos", "perante", "pois", "por",
+    "porque", "portanto", "propios", "proprio", "quais", "qual",
+    "qualquer", "quando", "quanto", "que", "quem", "quer", "se", "seja",
+    "sem", "sendo", "seu", "seus", "sob", "sobre", "sua", "suas", "tal",
+    "tambem", "teu", "teus", "toda", "todas", "todo", "todos", "tua",
+    "tuas", "tudo", "um", "uma", "umas", "uns")
+
   def byName(name: String): Analyzer = name match {
     case "simple"         => SimpleAnalyzer
     case "standard"       => StandardLikeAnalyzer()
@@ -356,6 +488,12 @@ object Analyzers {
     case "basque"         => BasqueAnalyzer()
     case "estonian"       => EstonianAnalyzer()
     case "thai"           => ThaiAnalyzer()
+    case "telugu"         => TeluguAnalyzer()
+    case "nepali"         => NepaliAnalyzer()
+    case "tamil"          => TamilAnalyzer()
+    case "serbian"        => SerbianAnalyzer()
+    case "galician"       => GalicianAnalyzer()
+    case "brazilian"      => BrazilianAnalyzer()
     case "folding"        => AsciiFoldingAnalyzer()
     case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
       ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)

@@ -385,6 +385,15 @@ object BengaliStem extends Serializable {
 /** Shared per-token chain body for the two Indic analyzers (graft-visible
   * so IndicSpec can pin the exact composition). */
 private[graft] object IndicChains {
+  /** lowercase → digit fold → Indic normalize, no language-specific steps —
+    * the pre-stop prefix of the Nepali/Tamil chains. */
+  def normalizeOnly(raw: String): String = {
+    val buf = raw.toLowerCase(java.util.Locale.ROOT).toCharArray
+    var len = StemOps.foldDigits(buf, buf.length)
+    len = IndicNormalizer.normalize(buf, len)
+    new String(buf, 0, len)
+  }
+
   /** lowercase → digit fold → Indic normalize → `langNorm` → `langStem`. */
   def apply(raw: String, langNorm: (Array[Char], Int) => Int,
             langStem: (Array[Char], Int) => Int): (String, String) = {
@@ -425,6 +434,98 @@ final case class HindiAnalyzer(stopWords: Set[String] = Analyzers.HindiStopWords
 /** Bengali analysis chain (`bn/BengaliAnalyzer.java:118`): standard →
   * lowercase → decimal digits → Indic normalize → Bengali normalize →
   * stop → stem. */
+/** Telugu spelling normalization (`te/TeluguNormalizer.java:38`):
+  * candrabindu→bindu, visarga/zwj/zwnj deletion, long→short vowels and
+  * matras, and the two-char compositions ె+ౖ→ై, ఒ+ౕ→ఓ, ఒ+ౌ→ఔ. */
+object TeluguNormalizer extends Serializable {
+  def normalize(s: Array[Char], len0: Int): Int = {
+    import StemOps.delete
+    var len = len0
+    var i = 0
+    while (i < len) {
+      s(i) match {
+        case 'ఀ' | 'ఁ' => s(i) = 'ం' // candrabindu -> bindu
+        case 'ః' => len = delete(s, i, len); i -= 1 // visarga
+        case '‌' | '‍' => len = delete(s, i, len); i -= 1 // zw(n)j
+        case 'ఔ' => s(i) = 'ఓ' // ఔ -> ఓ
+        case 'ఐ' => s(i) = 'ఏ' // ఐ -> ఏ
+        case 'ఆ' => s(i) = 'అ' // ఆ -> అ
+        case 'ఈ' => s(i) = 'ఇ' // ఈ -> ఇ
+        case 'ఊ' => s(i) = 'ఉ' // ఊ -> ఉ
+        case 'ీ' => s(i) = 'ి' // ీ -> ి
+        case 'ూ' => s(i) = 'ు' // ూ -> ు
+        case 'ే' => s(i) = 'ె' // ే -> ె
+        case 'ో' => s(i) = 'ొ' // ో -> ొ
+        case 'ె' if i + 1 < len && s(i + 1) == 'ౖ' =>
+          s(i) = 'ై'; len = delete(s, i + 1, len) // ె+ౖ -> ై
+        case 'ఒ' if i + 1 < len && s(i + 1) == 'ౕ' =>
+          s(i) = 'ఓ'; len = delete(s, i + 1, len) // ఒ+ౕ -> ఓ
+        case 'ఒ' if i + 1 < len && s(i + 1) == 'ౌ' =>
+          s(i) = 'ఔ'; len = delete(s, i + 1, len) // ఒ+ౌ -> ఔ
+        case _ =>
+      }
+      i += 1
+    }
+    len
+  }
+}
+
+/** Telugu suffix stripping (`te/TeluguStemmer.java:27`): longest of the
+  * 4-char plural clusters, then case/plural 2-char endings, then single
+  * vowel matras, each behind its minimum-length guard. */
+object TeluguStem extends Serializable {
+  import StemOps.endsWith
+  private val suf4 = Array("ళ్ళు", "డ్లు")
+  private val suf2 = Array("డు", "ము", "వు", "లు", "ని", "ను", "చే", "కై",
+    "లో", "ది", "కి", "సు", "వై", "పై")
+  private val suf1 = Array("ి", "ీ", "ు", "ూ", "ె", "ే", "ొ", "ో", "ా")
+  def stem(s: Array[Char], len: Int): Int = {
+    if (len > 5 && suf4.exists(endsWith(s, len, _))) return len - 4
+    if (len > 3 && suf2.exists(endsWith(s, len, _))) return len - 2
+    if (len > 2 && suf1.exists(endsWith(s, len, _))) return len - 1
+    len
+  }
+}
+
+/** Per-token Telugu chain body (graft-visible so TeluguSpec can pin the
+  * exact composition): digit fold → Indic normalize → Telugu normalize →
+  * stem — NO lowercase, matching `TeluguAnalyzer.createComponents`. */
+private[graft] object TeluguChain {
+  /** Returns (normalized, stemmed); stop filtering applies to the former. */
+  def apply(raw: String): (String, String) = {
+    val buf = java.util.Arrays.copyOf(raw.toCharArray, raw.length + 4)
+    var len = StemOps.foldDigits(buf, raw.length)
+    len = IndicNormalizer.normalize(buf, len)
+    len = TeluguNormalizer.normalize(buf, len)
+    val normalized = new String(buf, 0, len)
+    len = TeluguStem.stem(buf, len)
+    (normalized, new String(buf, 0, len))
+  }
+}
+
+/** Telugu analysis chain (`te/TeluguAnalyzer.java:114`): standard →
+  * decimal digits → Indic normalize → Telugu normalize → stop → stem.
+  * Unlike the Hindi/Bengali chains the reference composes NO
+  * LowerCaseFilter here — preserved verbatim (TeluguSpec pins it). */
+final case class TeluguAnalyzer(stopWords: Set[String] = Analyzers.TeluguStopWords)
+    extends Analyzer {
+  override val name = "telugu"
+  override def tokenize(text: String): IndexedSeq[Token] = {
+    val out = Vector.newBuilder[Token]
+    tokenizeRaw(text, (src, s, e, pos) => out += Token(src.substring(s, e), pos))
+    out.result()
+  }
+  override def tokenizeRaw(text: String, sink: TokenSink): Unit = {
+    var pos = 0
+    SnowballAnalyzers.standardRawTokens(text).foreach { raw =>
+      val (normalized, stemmed) = TeluguChain(raw)
+      if (!stopWords.contains(normalized))
+        sink.accept(stemmed, 0, stemmed.length, pos)
+      pos += 1
+    }
+  }
+}
+
 final case class BengaliAnalyzer(stopWords: Set[String] = Analyzers.BengaliStopWords)
     extends Analyzer {
   override val name = "bengali"
