@@ -1173,6 +1173,15 @@ object SparkEntry {
       topk(new Searcher(Indexes.brazilianIndex(s, dir), ScoringMode.PreciseBM25())
         .scored(TermQuery("valu")), 10)
     }),
+    "q137_flexible_multifield" -> ((s, dir) => {
+      // flexible/standard parser subset: classic syntax + per-leaf
+      // multi-field expansion (title^2 OR body per term); "+spark data" =
+      // must(spark) should(data), each leaf scored as the weighted sum of
+      // its per-field BM25 scores
+      topk(FlexibleParser.search(
+        Seq(Indexes.titleIndex(s, dir) -> 2.0, Indexes.documentsIndex(s, dir) -> 1.0),
+        "+spark data", SimpleAnalyzer), 10)
+    }),
     "q130_thai_chain" -> ((s, dir) => {
       // Thai chain on the doc_id % 13 = 6 shard with the reference test
       // phrase appended: exact phrase "งาน ดี" only matches when the
@@ -2880,6 +2889,52 @@ object SparkEntry {
       "line" -> "lin", "merge" -> "merg", "stream" -> "stre",
       "table" -> "tabl", "value" -> "valu"),
       "valu", divisor = 13),
+
+    // flexible parser: must(spark) + should(data), each leaf = weighted sum
+    // of per-field BM25 (title^2 first-5-token field, body) with PER-FIELD
+    // df/avgdl — the MultiFieldQueryNodeProcessor OR-group semantics
+    "q137_flexible_multifield" ->
+      s"""$CTE, ttl AS (
+         |  SELECT doc_id, count(*) AS tlen,
+         |         count(*) FILTER (term = 'spark') AS t1,
+         |         count(*) FILTER (term = 'data') AS t2
+         |  FROM toks WHERE pos < 5 GROUP BY doc_id
+         |), bdy AS (
+         |  SELECT doc_id, count(*) AS blen,
+         |         count(*) FILTER (term = 'spark') AS b1,
+         |         count(*) FILTER (term = 'data') AS b2
+         |  FROM toks GROUP BY doc_id
+         |), tstat AS (
+         |  SELECT count(*) FILTER (t1 > 0) AS df1, count(*) FILTER (t2 > 0) AS df2,
+         |         sum(tlen)::DOUBLE / (SELECT n FROM stats) AS avgdl FROM ttl
+         |), bstat AS (
+         |  SELECT count(*) FILTER (b1 > 0) AS df1, count(*) FILTER (b2 > 0) AS df2,
+         |         sum(blen)::DOUBLE / (SELECT n FROM stats) AS avgdl FROM bdy
+         |), leaf1 AS (
+         |  SELECT doc_id, sum(s) AS score FROM (
+         |    SELECT doc_id, 2.0 * ${idfSql("(SELECT df1 FROM tstat)")}
+         |      * (t1 / (t1 + 1.2 * (1 - 0.75 + 0.75 * (SELECT max(q) FROM quant WHERE q <= ttl.tlen) / (SELECT avgdl FROM tstat)))) AS s
+         |    FROM ttl WHERE t1 > 0
+         |    UNION ALL
+         |    SELECT doc_id, 1.0 * ${idfSql("(SELECT df1 FROM bstat)")}
+         |      * (b1 / (b1 + 1.2 * (1 - 0.75 + 0.75 * (SELECT max(q) FROM quant WHERE q <= bdy.blen) / (SELECT avgdl FROM bstat)))) AS s
+         |    FROM bdy WHERE b1 > 0
+         |  ) u GROUP BY doc_id
+         |), leaf2 AS (
+         |  SELECT doc_id, sum(s) AS score FROM (
+         |    SELECT doc_id, 2.0 * ${idfSql("(SELECT df2 FROM tstat)")}
+         |      * (t2 / (t2 + 1.2 * (1 - 0.75 + 0.75 * (SELECT max(q) FROM quant WHERE q <= ttl.tlen) / (SELECT avgdl FROM tstat)))) AS s
+         |    FROM ttl WHERE t2 > 0
+         |    UNION ALL
+         |    SELECT doc_id, 1.0 * ${idfSql("(SELECT df2 FROM bstat)")}
+         |      * (b2 / (b2 + 1.2 * (1 - 0.75 + 0.75 * (SELECT max(q) FROM quant WHERE q <= bdy.blen) / (SELECT avgdl FROM bstat)))) AS s
+         |    FROM bdy WHERE b2 > 0
+         |  ) u GROUP BY doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT leaf1.doc_id AS doc_id, leaf1.score + coalesce(leaf2.score, 0) AS score
+         |  FROM leaf1 LEFT JOIN leaf2 ON leaf1.doc_id = leaf2.doc_id
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
 
     // Thai chain: ascii tokens word-split identically under the th break
     // iterator; the appended reference phrase contributes exactly three
