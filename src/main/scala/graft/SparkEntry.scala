@@ -314,6 +314,14 @@ object Indexes {
   def serbianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
     snowballShard(spark, sfDir, "sr", 10, SerbianAnalyzer(), divisor = 13)
 
+  def commonGramsIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "cgrams", 5,
+      CommonGramsAnalyzer(SimpleAnalyzer, Set("a", "the")), divisor = 13)
+
+  def patternIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "pattern", 4,
+      PatternAnalyzer("st[a-z]+", group = 0), divisor = 13)
+
   def galicianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
     snowballShard(spark, sfDir, "gl", 11, GalicianAnalyzer(), divisor = 13)
 
@@ -1181,6 +1189,19 @@ object SparkEntry {
       topk(FlexibleParser.search(
         Seq(Indexes.titleIndex(s, dir) -> 2.0, Indexes.documentsIndex(s, dir) -> 1.0),
         "+spark data", SimpleAnalyzer), 10)
+    }),
+    "q138_common_grams" -> ((s, dir) => {
+      // CommonGramsFilter: the_spark bigram indexed at the first word's
+      // position alongside both unigrams; a common-word phrase becomes one
+      // term lookup
+      topk(new Searcher(Indexes.commonGramsIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("the_spark")), 10)
+    }),
+    "q139_pattern_tokenizer" -> ((s, dir) => {
+      // PatternTokenizer group mode: tokens = regex matches of st[a-z]+
+      // (stream, plus mid-word hits like cu[stomer]); BM25 over that stream
+      topk(new Searcher(Indexes.patternIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("stream")), 10)
     }),
     "q130_thai_chain" -> ((s, dir) => {
       // Thai chain on the doc_id % 13 = 6 shard with the reference test
@@ -2889,6 +2910,57 @@ object SparkEntry {
       "line" -> "lin", "merge" -> "merg", "stream" -> "stre",
       "table" -> "tabl", "value" -> "valu"),
       "valu", divisor = 13),
+
+    // CommonGrams: the indexed stream is unigrams + (common-adjacent)
+    // bigrams; doclen counts every emitted token (graft's norm model — the
+    // engine does not discount posInc-0 overlaps; documented divergence)
+    "q138_common_grams" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+         |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+         |  FROM documents WHERE doc_id % 13 = 5
+         |), toks0 AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+         |  FROM raw WHERE term <> ''
+         |), grams AS (
+         |  SELECT t1.doc_id, t1.term || '_' || t2.term AS term
+         |  FROM toks0 t1 JOIN toks0 t2
+         |    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+         |  WHERE t1.term IN ('a', 'the') OR t2.term IN ('a', 'the')
+         |), toks AS (
+         |  SELECT doc_id, term FROM toks0
+         |  UNION ALL SELECT doc_id, term FROM grams
+         |), quant(q) AS (
+         |  SELECT * FROM (VALUES $QuantValues)
+         |), dl0 AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), dl AS (
+         |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
+         |), stats AS (
+         |  SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("the_spark")}) scored
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // PatternTokenizer group mode: the token stream IS regexp_extract_all
+    "q139_pattern_tokenizer" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), 'st[a-z]+')) AS term
+         |  FROM documents WHERE doc_id % 13 = 4
+         |), quant(q) AS (
+         |  SELECT * FROM (VALUES $QuantValues)
+         |), dl0 AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), dl AS (
+         |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM documents WHERE doc_id % 13 = 4) AS n,
+         |         (SELECT sum(dl) FROM dl0)::DOUBLE
+         |           / (SELECT count(*) FROM documents WHERE doc_id % 13 = 4) AS avgdl
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("stream")}) scored
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
 
     // flexible parser: must(spark) + should(data), each leaf = weighted sum
     // of per-field BM25 (title^2 first-5-token field, body) with PER-FIELD

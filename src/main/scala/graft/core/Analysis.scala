@@ -497,6 +497,15 @@ object Analyzers {
     case "folding"        => AsciiFoldingAnalyzer()
     case s if s.startsWith("shingle-") => // "shingle-<n>" over SimpleAnalyzer
       ShingleAnalyzer(SimpleAnalyzer, s.stripPrefix("shingle-").toInt)
+    case s if s.startsWith("commongrams:") => // commongrams:<inner>:<w1,w2,..>
+      val rest = s.stripPrefix("commongrams:")
+      val sep = rest.indexOf(':')
+      CommonGramsAnalyzer(byName(rest.substring(0, sep)),
+        rest.substring(sep + 1).split(',').toSet)
+    case s if s.startsWith("pattern:") => // pattern:<group>:<regex>
+      val rest = s.stripPrefix("pattern:")
+      val sep = rest.indexOf(':')
+      PatternAnalyzer(rest.substring(sep + 1), rest.substring(0, sep).toInt)
     case s if s.startsWith("ngram-") => // "ngram-<min>-<max>" over SimpleAnalyzer
       val parts = s.stripPrefix("ngram-").split("-")
       NGramAnalyzer(SimpleAnalyzer, parts(0).toInt, parts(1).toInt)

@@ -1,0 +1,78 @@
+package graft.core
+
+/** CommonGramsFilter analog
+  * (`lucene/analysis/common/src/java/org/apache/lucene/analysis/commongrams/CommonGramsFilter.java:41`):
+  * for each adjacent token pair where either side is a common word, emit the
+  * `w1_w2` bigram at the FIRST word's position (posInc 0 in the reference)
+  * in addition to both unigrams — the phrase-speed trick that turns
+  * high-df-word phrases into single-term lookups. Stream order matches the
+  * reference: w1, bigram, w2. Norm divergence documented: the reference
+  * discounts posInc-0 tokens from the length norm
+  * (`IndexingChain numTerms - numOverlap`); graft's doclen counts every
+  * emitted token — self-consistent engine-wide (the compound chains behave
+  * the same way) and mirrored by the q138 oracle. */
+final case class CommonGramsAnalyzer(inner: Analyzer, commonWords: Set[String])
+    extends Analyzer {
+  // registry-parseable: commongrams:<innerName>:<w1,w2,...>
+  override val name =
+    s"commongrams:${inner.name}:${commonWords.toSeq.sorted.mkString(",")}"
+  override def tokenize(text: String): IndexedSeq[Token] = {
+    val out = Vector.newBuilder[Token]
+    tokenizeRaw(text, (src, s, e, pos) => out += Token(src.substring(s, e), pos))
+    out.result()
+  }
+  override def tokenizeRaw(text: String, sink: TokenSink): Unit = {
+    var prevTerm: String = null
+    var prevPos = 0
+    var prevCommon = false
+    inner.tokenize(text).foreach { t =>
+      val isCommon = commonWords.contains(t.term)
+      if (prevTerm != null && (prevCommon || isCommon)) {
+        val gram = prevTerm + "_" + t.term
+        sink.accept(gram, 0, gram.length, prevPos)
+      }
+      sink.accept(t.term, 0, t.term.length, t.position)
+      prevTerm = t.term
+      prevPos = t.position
+      prevCommon = isCommon
+    }
+  }
+}
+
+/** PatternTokenizer analog
+  * (`lucene/analysis/common/src/java/org/apache/lucene/analysis/pattern/PatternTokenizer.java:55`):
+  * `group >= 0` emits one token per regex match (that group's text);
+  * `group == -1` is split mode — tokens are the non-empty runs between
+  * matches. Tokens are lowercased afterwards when `toLower` (the usual
+  * PatternTokenizer + LowerCaseFilter composition). */
+final case class PatternAnalyzer(pattern: String, group: Int = -1,
+                                 toLower: Boolean = true) extends Analyzer {
+  // registry-parseable: pattern:<group>:<regex>
+  override val name = s"pattern:$group:$pattern"
+  @transient private lazy val re = java.util.regex.Pattern.compile(pattern)
+
+  override def tokenize(text: String): IndexedSeq[Token] = {
+    val out = Vector.newBuilder[Token]
+    tokenizeRaw(text, (src, s, e, pos) => out += Token(src.substring(s, e), pos))
+    out.result()
+  }
+  override def tokenizeRaw(text: String, sink: TokenSink): Unit = {
+    val m = re.matcher(text)
+    var pos = 0
+    def emit(raw: String): Unit = if (raw.nonEmpty) {
+      val term = if (toLower) raw.toLowerCase(java.util.Locale.ROOT) else raw
+      sink.accept(term, 0, term.length, pos)
+      pos += 1
+    }
+    if (group >= 0) {
+      while (m.find()) emit(m.group(group))
+    } else {
+      var last = 0
+      while (m.find()) {
+        emit(text.substring(last, m.start()))
+        last = m.end()
+      }
+      emit(text.substring(last))
+    }
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.core.{CommonGramsAnalyzer, PatternAnalyzer, SimpleAnalyzer}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference-vector parity for the CommonGrams and PatternTokenizer analogs
+  * (`TestCommonGramsFilter.java:188-201`, `TestPatternTokenizer.java:35-46`). */
+class ExtraTokenizersSpec extends AnyFunSuite {
+
+  private def terms(a: graft.core.Analyzer, text: String): Seq[String] =
+    a.tokenize(text).map(_.term)
+  private def withPos(a: graft.core.Analyzer, text: String): Seq[(String, Int)] =
+    a.tokenize(text).map(t => (t.term, t.position))
+
+  test("CommonGrams: reference vectors, terms and positions") {
+    val a = CommonGramsAnalyzer(SimpleAnalyzer, Set("s", "of", "the"))
+    // posInc [1,0,1,1] in the reference = bigram shares the first word's slot
+    assert(withPos(a, "the quick brown") ==
+      Seq(("the", 0), ("the_quick", 0), ("quick", 1), ("brown", 2)))
+    assert(withPos(a, "s n s") ==
+      Seq(("s", 0), ("s_n", 0), ("n", 1), ("n_s", 1), ("s", 2)))
+    assert(terms(a, "the fox of") == Seq("the", "the_fox", "fox", "fox_of", "of"))
+    assert(terms(a, "of the fox") ==
+      Seq("of", "of_the", "the", "the_fox", "fox"))
+    assert(terms(a, "s s s") == Seq("s", "s_s", "s", "s_s", "s"))
+    // no common word adjacent: plain unigrams
+    assert(terms(a, "quick brown fox") == Seq("quick", "brown", "fox"))
+  }
+
+  test("PatternTokenizer: reference split/group vectors") {
+    assert(terms(PatternAnalyzer("--"), "aaa--bbb--ccc") == Seq("aaa", "bbb", "ccc"))
+    assert(terms(PatternAnalyzer(":"), "boo:and:foo") == Seq("boo", "and", "foo"))
+    assert(terms(PatternAnalyzer("o"), "boo:and:foo") == Seq("b", ":and:f"))
+    assert(terms(PatternAnalyzer(":", group = 0), "boo:and:foo") == Seq(":", ":"))
+    val q = "\\'([^\\']+)\\'"
+    assert(terms(PatternAnalyzer(q, group = 0), "aaa 'bbb' 'ccc'") == Seq("'bbb'", "'ccc'"))
+    assert(terms(PatternAnalyzer(q, group = 1), "aaa 'bbb' 'ccc'") == Seq("bbb", "ccc"))
+    // group mode positions are consecutive
+    assert(withPos(PatternAnalyzer("st[a-z]+", group = 0), "stream customer fast")
+      == Seq(("stream", 0), ("stomer", 1)))
+  }
+}
