@@ -1190,6 +1190,17 @@ object SparkEntry {
         Seq(Indexes.titleIndex(s, dir) -> 2.0, Indexes.documentsIndex(s, dir) -> 1.0),
         "+spark data", SimpleAnalyzer), 10)
     }),
+    "q140_payload_score" -> ((s, dir) => {
+      // DelimitedPayload + PayloadScoreQuery(sum): tokens annotated
+      // token|((pos%5)+len) deterministically, parsed back by the payload
+      // pass, summed per doc at 'spark' match positions
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 13 === 3)
+        .select(col("doc_id").as("docId"),
+          expr("array_join(transform(split(text, ' '), (t, i) -> " +
+            "concat(t, '|', cast((i % 5) + length(t) AS string))), ' ')").as("text"))
+      topk(Payloads.payloadScore(Payloads.build(docs), "spark", Payloads.SumPayload), 10)
+    }),
     "q138_common_grams" -> ((s, dir) => {
       // CommonGramsFilter: the_spark bigram indexed at the first word's
       // position alongside both unigrams; a common-word phrase becomes one
@@ -2910,6 +2921,20 @@ object SparkEntry {
       "line" -> "lin", "merge" -> "merg", "stream" -> "stre",
       "table" -> "tabl", "value" -> "valu"),
       "valu", divisor = 13),
+
+    // payload-sum at match positions of 'spark'; payload = (pos%5)+len,
+    // integer-valued so float accumulation is exact
+    "q140_payload_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(text, ' ')) AS term,
+         |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+         |  FROM documents WHERE doc_id % 13 = 3
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id, sum((pos % 5) + length(term))::DOUBLE AS score
+         |  FROM toks WHERE term = 'spark' GROUP BY doc_id
+         |) scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
 
     // CommonGrams: the indexed stream is unigrams + (common-adjacent)
     // bigrams; doclen counts every emitted token (graft's norm model — the

@@ -502,6 +502,8 @@ object Analyzers {
       val sep = rest.indexOf(':')
       CommonGramsAnalyzer(byName(rest.substring(0, sep)),
         rest.substring(sep + 1).split(',').toSet)
+    case s if s.startsWith("payload-delim-") => // payload-delim-<char>
+      DelimitedPayloadAnalyzer(s.stripPrefix("payload-delim-").head)
     case s if s.startsWith("pattern:") => // pattern:<group>:<regex>
       val rest = s.stripPrefix("pattern:")
       val sep = rest.indexOf(':')

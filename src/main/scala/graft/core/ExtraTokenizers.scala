@@ -76,3 +76,30 @@ final case class PatternAnalyzer(pattern: String, group: Int = -1,
     }
   }
 }
+
+/** Analyzer view of the delimited stream for the SEARCHABLE index: the
+  * `term|payload` suffix is stripped and the bare term flows through —
+  * what the wrapped SpanTermQuery matches against. */
+final case class DelimitedPayloadAnalyzer(delimiter: Char = '|')
+    extends Analyzer {
+  override val name = s"payload-delim-$delimiter"
+  override def tokenize(text: String): IndexedSeq[Token] = {
+    val out = Vector.newBuilder[Token]
+    tokenizeRaw(text, (src, s, e, pos) => out += Token(src.substring(s, e), pos))
+    out.result()
+  }
+  override def tokenizeRaw(text: String, sink: TokenSink): Unit = {
+    var pos = 0
+    text.split("\\s+").foreach { raw =>
+      if (raw.nonEmpty) {
+        val cut = raw.indexOf(delimiter)
+        val term = (if (cut >= 0) raw.substring(0, cut) else raw)
+          .toLowerCase(java.util.Locale.ROOT)
+        if (term.nonEmpty) {
+          sink.accept(term, 0, term.length, pos)
+          pos += 1
+        }
+      }
+    }
+  }
+}
