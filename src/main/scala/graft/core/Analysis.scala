@@ -502,6 +502,11 @@ object Analyzers {
       val sep = rest.indexOf(':')
       CommonGramsAnalyzer(byName(rest.substring(0, sep)),
         rest.substring(sep + 1).split(',').toSet)
+    case s if s.startsWith("commongrams-query:") =>
+      val rest = s.stripPrefix("commongrams-query:")
+      val sep = rest.indexOf(':')
+      CommonGramsQueryAnalyzer(byName(rest.substring(0, sep)),
+        rest.substring(sep + 1).split(',').toSet)
     case s if s.startsWith("payload-delim-") => // payload-delim-<char>
       DelimitedPayloadAnalyzer(s.stripPrefix("payload-delim-").head)
     case s if s.startsWith("pattern:") => // pattern:<group>:<regex>

@@ -39,6 +39,54 @@ final case class CommonGramsAnalyzer(inner: Analyzer, commonWords: Set[String])
   }
 }
 
+/** CommonGramsQueryFilter analog
+  * (`commongrams/CommonGramsQueryFilter.java:38`): the query-side view of a
+  * CommonGrams stream — bigrams whenever possible, a unigram only when a
+  * following non-gram token flushes it, and the trailing buffered token
+  * dropped exactly when the LAST emission was a gram (the reference's
+  * one-token-lookahead state machine, whose behavior overrides its own
+  * javadoc example — `"the quick brown"` keeps `quick`). Emitted positions
+  * are consecutive (the filter resets gram posInc to 1). */
+final case class CommonGramsQueryAnalyzer(inner: Analyzer, commonWords: Set[String])
+    extends Analyzer {
+  override val name =
+    s"commongrams-query:${inner.name}:${commonWords.toSeq.sorted.mkString(",")}"
+  override def tokenize(text: String): IndexedSeq[Token] = {
+    val out = Vector.newBuilder[Token]
+    tokenizeRaw(text, (src, s, e, pos) => out += Token(src.substring(s, e), pos))
+    out.result()
+  }
+  override def tokenizeRaw(text: String, sink: TokenSink): Unit = {
+    // stage 1: the CommonGrams stream, tagged (term, isGram)
+    val stream = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    var prevTerm: String = null
+    var prevCommon = false
+    inner.tokenize(text).foreach { t =>
+      val isCommon = commonWords.contains(t.term)
+      if (prevTerm != null && (prevCommon || isCommon))
+        stream += ((prevTerm + "_" + t.term, true))
+      stream += ((t.term, false))
+      prevTerm = t.term
+      prevCommon = isCommon
+    }
+    // stage 2: the query filter's buffered pass
+    var pos = 0
+    def emit(term: String): Unit = { sink.accept(term, 0, term.length, pos); pos += 1 }
+    var prev: (String, Boolean) = null
+    var lastEmittedGram = false
+    var emittedAny = false
+    stream.foreach { cur =>
+      if (prev != null && !cur._2) {
+        emit(prev._1)
+        lastEmittedGram = prev._2
+        emittedAny = true
+      }
+      prev = cur
+    }
+    if (prev != null && !(emittedAny && lastEmittedGram)) emit(prev._1)
+  }
+}
+
 /** PatternTokenizer analog
   * (`lucene/analysis/common/src/java/org/apache/lucene/analysis/pattern/PatternTokenizer.java:55`):
   * `group >= 0` emits one token per regex match (that group's text);

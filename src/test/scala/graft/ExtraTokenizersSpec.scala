@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{CommonGramsAnalyzer, PatternAnalyzer, SimpleAnalyzer}
+import graft.core.{CommonGramsAnalyzer, CommonGramsQueryAnalyzer, PatternAnalyzer, SimpleAnalyzer}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Reference-vector parity for the CommonGrams and PatternTokenizer analogs
@@ -24,6 +24,24 @@ class ExtraTokenizersSpec extends AnyFunSuite {
       Seq("of", "of_the", "the", "the_fox", "fox"))
     assert(terms(a, "s s s") == Seq("s", "s_s", "s", "s_s", "s"))
     // no common word adjacent: plain unigrams
+    assert(terms(a, "quick brown fox") == Seq("quick", "brown", "fox"))
+  }
+
+  test("CommonGramsQueryFilter: reference vectors (TestCommonGramsFilter:122-134)") {
+    val a = CommonGramsQueryAnalyzer(SimpleAnalyzer, Set("s", "of", "the"))
+    assert(terms(a, "fox of the") == Seq("fox_of", "of_the"))
+    assert(terms(a, "s n n") == Seq("s_n", "n", "n"))
+    assert(terms(a, "the quick brown") == Seq("the_quick", "quick", "brown"))
+    assert(terms(a, "s n s") == Seq("s_n", "n_s"))
+    assert(terms(a, "the fox of") == Seq("the_fox", "fox_of"))
+    assert(terms(a, "s s n") == Seq("s_s", "s_n"))
+    assert(terms(a, "of the fox") == Seq("of_the", "the_fox"))
+    assert(terms(a, "s s s") == Seq("s_s", "s_s"))
+    assert(terms(a, "of the of") == Seq("of_the", "the_of"))
+    // positions come out consecutive (gram posInc reset to 1)
+    assert(withPos(a, "the fox of") == Seq(("the_fox", 0), ("fox_of", 1)))
+    // single token passes through; no-common text is unchanged
+    assert(terms(a, "fox") == Seq("fox"))
     assert(terms(a, "quick brown fox") == Seq("quick", "brown", "fox"))
   }
 
