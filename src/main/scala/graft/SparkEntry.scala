@@ -314,6 +314,10 @@ object Indexes {
   def serbianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
     snowballShard(spark, sfDir, "sr", 10, SerbianAnalyzer(), divisor = 13)
 
+  def englishExclusionIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "en-excl", 2,
+      EnglishAnalyzer(stemExclusions = Set("merge", "query")), divisor = 13)
+
   def commonGramsIndex(spark: SparkSession, sfDir: String): InvertedIndex =
     snowballShard(spark, sfDir, "cgrams", 5,
       CommonGramsAnalyzer(SimpleAnalyzer, Set("a", "the")), divisor = 13)
@@ -1189,6 +1193,13 @@ object SparkEntry {
       topk(FlexibleParser.search(
         Seq(Indexes.titleIndex(s, dir) -> 2.0, Indexes.documentsIndex(s, dir) -> 1.0),
         "+spark data", SimpleAnalyzer), 10)
+    }),
+    "q141_stem_exclusion" -> ((s, dir) => {
+      // SetKeywordMarkerFilter analog: merge/query excluded from Porter and
+      // indexed verbatim (without the exclusion this query matches nothing —
+      // Porter would have written 'merg')
+      topk(new Searcher(Indexes.englishExclusionIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("merge")), 10)
     }),
     "q140_payload_score" -> ((s, dir) => {
       // DelimitedPayload + PayloadScoreQuery(sum): tokens annotated
@@ -2921,6 +2932,13 @@ object SparkEntry {
       "line" -> "lin", "merge" -> "merg", "stream" -> "stre",
       "table" -> "tabl", "value" -> "valu"),
       "valu", divisor = 13),
+
+    // English chain with stem exclusions {merge, query}: excluded words
+    // stay verbatim, the rest of the corpus vocabulary Porter-stems
+    "q141_stem_exclusion" -> snowballChainSql(2, StopList, Map(
+      "customer" -> "custom", "key" -> "kei", "table" -> "tabl",
+      "value" -> "valu"),
+      "merge", divisor = 13),
 
     // payload-sum at match positions of 'spark'; payload = (pos%5)+len,
     // integer-valued so float accumulation is exact

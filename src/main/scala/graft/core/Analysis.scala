@@ -507,6 +507,8 @@ object Analyzers {
       val sep = rest.indexOf(':')
       CommonGramsQueryAnalyzer(byName(rest.substring(0, sep)),
         rest.substring(sep + 1).split(',').toSet)
+    case s if s.startsWith("english-excl:") => // english-excl:<w1,w2,...>
+      EnglishAnalyzer(stemExclusions = s.stripPrefix("english-excl:").split(',').toSet)
     case s if s.startsWith("payload-delim-") => // payload-delim-<char>
       DelimitedPayloadAnalyzer(s.stripPrefix("payload-delim-").head)
     case s if s.startsWith("pattern:") => // pattern:<group>:<regex>
@@ -724,10 +726,14 @@ final case class SimpleStopAnalyzer(stopWords: Set[String]) extends Analyzer {
   * (`lucene/analysis/common/src/java/org/apache/lucene/analysis/en/EnglishAnalyzer.java:102-110`):
   * standard (UAX#29-style) tokenization → possessive strip (trailing 's,
   * `EnglishPossessiveFilter.java`) → lowercase → English stop set (position
-  * increments kept) → Porter stemmer. */
+  * increments kept) → keyword marker (`SetKeywordMarkerFilter` — stem
+  * exclusions pass the stemmer verbatim) → Porter stemmer. */
 final case class EnglishAnalyzer(
-    stopWords: Set[String] = Analyzers.EnglishStopWords) extends Analyzer {
-  override val name = "english"
+    stopWords: Set[String] = Analyzers.EnglishStopWords,
+    stemExclusions: Set[String] = Set.empty) extends Analyzer {
+  override val name =
+    if (stemExclusions.isEmpty) "english"
+    else s"english-excl:${stemExclusions.toSeq.sorted.mkString(",")}"
 
   private def stripPossessive(t: String): String =
     if (t.length >= 2 && (t.endsWith("'s") || t.endsWith("’s") || t.endsWith("＇s")))
@@ -738,8 +744,12 @@ final case class EnglishAnalyzer(
     val out = Vector.newBuilder[Token]
     StandardLikeAnalyzer().tokenize(text).foreach { tok =>
       val stripped = stripPossessive(tok.term)
-      if (!stopWords.contains(stripped))
-        out += Token(PorterStemmer.stem(stripped), tok.position)
+      if (!stopWords.contains(stripped)) {
+        val term =
+          if (stemExclusions.contains(stripped)) stripped
+          else PorterStemmer.stem(stripped)
+        out += Token(term, tok.position)
+      }
       // stopped terms keep their position increment (position is pre-filter)
     }
     out.result()

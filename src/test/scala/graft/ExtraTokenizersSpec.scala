@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{CommonGramsAnalyzer, CommonGramsQueryAnalyzer, PatternAnalyzer, SimpleAnalyzer}
+import graft.core.{Analyzers, CommonGramsAnalyzer, CommonGramsQueryAnalyzer, EnglishAnalyzer, PatternAnalyzer, SimpleAnalyzer}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Reference-vector parity for the CommonGrams and PatternTokenizer analogs
@@ -43,6 +43,17 @@ class ExtraTokenizersSpec extends AnyFunSuite {
     // single token passes through; no-common text is unchanged
     assert(terms(a, "fox") == Seq("fox"))
     assert(terms(a, "quick brown fox") == Seq("quick", "brown", "fox"))
+  }
+
+  test("English stem exclusions (SetKeywordMarkerFilter): excluded words skip Porter") {
+    val a = EnglishAnalyzer(stemExclusions = Set("merge"))
+    assert(terms(a, "merge the queries") == Seq("merge", "queri"))
+    assert(terms(EnglishAnalyzer(), "merge the queries") == Seq("merg", "queri"))
+    // exclusion checked after possessive strip + stop, like the filter order
+    assert(terms(a, "merge's value") == Seq("merge", "valu"))
+    // registry round-trip keeps the exclusion set
+    val byName = Analyzers.byName(a.name)
+    assert(byName == a && terms(byName, "merge") == Seq("merge"))
   }
 
   test("PatternTokenizer: reference split/group vectors") {
