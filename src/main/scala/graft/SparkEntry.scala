@@ -314,6 +314,15 @@ object Indexes {
   def serbianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
     snowballShard(spark, sfDir, "sr", 10, SerbianAnalyzer(), divisor = 13)
 
+  /** Hunspell dictionary gate: a user `.aff`/`.dic` asset whose SFX E rule
+    * unmunches merge/table/value back to their dictionary stems; every other
+    * corpus word passes through (no stems → original token). */
+  def hunspellIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "hunspell", 1,
+      HunspellAnalyzer(graft.core.Hunspell.parse(
+        "SET UTF-8\nSFX E Y 1\nSFX E 0 e .\n",
+        "4\nmerg/E\ntabl/E\nvalu/E\nspark\n")), divisor = 13)
+
   def englishExclusionIndex(spark: SparkSession, sfDir: String): InvertedIndex =
     snowballShard(spark, sfDir, "en-excl", 2,
       EnglishAnalyzer(stemExclusions = Set("merge", "query")), divisor = 13)
@@ -1193,6 +1202,13 @@ object SparkEntry {
       topk(FlexibleParser.search(
         Seq(Indexes.titleIndex(s, dir) -> 2.0, Indexes.documentsIndex(s, dir) -> 1.0),
         "+spark data", SimpleAnalyzer), 10)
+    }),
+    "q142_hunspell" -> ((s, dir) => {
+      // Hunspell chain: merge/table/value unmunch to dictionary stems via
+      // the SFX E rule; 'spark' is a direct dictionary hit; the rest pass
+      // through — TermQuery on the unmunched stem
+      topk(new Searcher(Indexes.hunspellIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("merg")), 10)
     }),
     "q141_stem_exclusion" -> ((s, dir) => {
       // SetKeywordMarkerFilter analog: merge/query excluded from Porter and
@@ -2932,6 +2948,12 @@ object SparkEntry {
       "line" -> "lin", "merge" -> "merg", "stream" -> "stre",
       "table" -> "tabl", "value" -> "valu"),
       "valu", divisor = 13),
+
+    // Hunspell: merge/table/value unmunch via SFX E; no stop list (the
+    // dummy '' literal matches no token)
+    "q142_hunspell" -> snowballChainSql(1, "''", Map(
+      "merge" -> "merg", "table" -> "tabl", "value" -> "valu"),
+      "merg", divisor = 13),
 
     // English chain with stem exclusions {merge, query}: excluded words
     // stay verbatim, the rest of the corpus vocabulary Porter-stems
