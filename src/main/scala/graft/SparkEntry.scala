@@ -314,6 +314,10 @@ object Indexes {
   def serbianIndex(spark: SparkSession, sfDir: String): InvertedIndex =
     snowballShard(spark, sfDir, "sr", 10, SerbianAnalyzer(), divisor = 13)
 
+  def phoneticIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "phonetic", 0,
+      DoubleMetaphoneAnalyzer(maxCodeLength = 4, inject = false), divisor = 13)
+
   /** Hunspell dictionary gate: a user `.aff`/`.dic` asset whose SFX E rule
     * unmunches merge/table/value back to their dictionary stems; every other
     * corpus word passes through (no stems → original token). */
@@ -1202,6 +1206,12 @@ object SparkEntry {
       topk(FlexibleParser.search(
         Seq(Indexes.titleIndex(s, dir) -> 2.0, Indexes.documentsIndex(s, dir) -> 1.0),
         "+spark data", SimpleAnalyzer), 10)
+    }),
+    "q143_double_metaphone" -> ((s, dir) => {
+      // DoubleMetaphone replace mode: every token becomes its primary code
+      // (+ alternate at the same position); spark → SPRK
+      topk(new Searcher(Indexes.phoneticIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("SPRK")), 10)
     }),
     "q142_hunspell" -> ((s, dir) => {
       // Hunspell chain: merge/table/value unmunch to dictionary stems via
@@ -2948,6 +2958,50 @@ object SparkEntry {
       "line" -> "lin", "merge" -> "merg", "stream" -> "stre",
       "table" -> "tabl", "value" -> "valu"),
       "valu", divisor = 13),
+
+    // DoubleMetaphone replace mode: primary code per token plus the
+    // alternate where it differs (commons-codec 4-char codes over the
+    // closed corpus vocabulary); doclen counts every emitted code
+    "q143_double_metaphone" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+         |  FROM documents WHERE doc_id % 13 = 0
+         |), toks AS (
+         |  SELECT doc_id, CASE term
+         |    WHEN 'a' THEN 'A' WHEN 'agg' THEN 'AK' WHEN 'batch' THEN 'PX'
+         |    WHEN 'big' THEN 'PK' WHEN 'column' THEN 'KLMN'
+         |    WHEN 'customer' THEN 'KSTM' WHEN 'data' THEN 'TT'
+         |    WHEN 'dup' THEN 'TP' WHEN 'fast' THEN 'FST'
+         |    WHEN 'filter' THEN 'FLTR' WHEN 'group' THEN 'KRP'
+         |    WHEN 'hash' THEN 'HX' WHEN 'join' THEN 'JN' WHEN 'key' THEN 'K'
+         |    WHEN 'line' THEN 'LN' WHEN 'merge' THEN 'MRJ'
+         |    WHEN 'order' THEN 'ARTR' WHEN 'part' THEN 'PRT'
+         |    WHEN 'query' THEN 'KR' WHEN 'row' THEN 'R' WHEN 'scan' THEN 'SKN'
+         |    WHEN 'slow' THEN 'SL' WHEN 'small' THEN 'SML'
+         |    WHEN 'sort' THEN 'SRT' WHEN 'spark' THEN 'SPRK'
+         |    WHEN 'stream' THEN 'STRM' WHEN 'table' THEN 'TPL'
+         |    WHEN 'the' THEN '0' WHEN 'value' THEN 'FL'
+         |    WHEN 'vector' THEN 'FKTR' WHEN 'window' THEN 'ANT' END AS term
+         |  FROM raw WHERE term <> ''
+         |  UNION ALL
+         |  SELECT doc_id, CASE term
+         |    WHEN 'join' THEN 'AN' WHEN 'merge' THEN 'MRK' WHEN 'row' THEN 'RF'
+         |    WHEN 'slow' THEN 'XLF' WHEN 'small' THEN 'XML' WHEN 'the' THEN 'T'
+         |    WHEN 'window' THEN 'FNTF' END AS term
+         |  FROM raw
+         |  WHERE term IN ('join', 'merge', 'row', 'slow', 'small', 'the', 'window')
+         |), quant(q) AS (
+         |  SELECT * FROM (VALUES $QuantValues)
+         |), dl0 AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), dl AS (
+         |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
+         |), stats AS (
+         |  SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("SPRK")}) scored
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
 
     // Hunspell: merge/table/value unmunch via SFX E; no stop list (the
     // dummy '' literal matches no token)

@@ -508,6 +508,9 @@ object Analyzers {
       CommonGramsQueryAnalyzer(byName(rest.substring(0, sep)),
         rest.substring(sep + 1).split(',').toSet)
     case "hunspell"       => HunspellAnalyzer.empty // dictionary is a user asset
+    case s if s.startsWith("double-metaphone:") => // double-metaphone:<len>:<inject>
+      val Array(len, inj) = s.stripPrefix("double-metaphone:").split(':')
+      DoubleMetaphoneAnalyzer(len.toInt, inj.toBoolean)
     case s if s.startsWith("english-excl:") => // english-excl:<w1,w2,...>
       EnglishAnalyzer(stemExclusions = s.stripPrefix("english-excl:").split(',').toSet)
     case s if s.startsWith("payload-delim-") => // payload-delim-<char>
