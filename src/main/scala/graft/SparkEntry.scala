@@ -318,6 +318,10 @@ object Indexes {
     snowballShard(spark, sfDir, "phonetic", 0,
       DoubleMetaphoneAnalyzer(maxCodeLength = 4, inject = false), divisor = 13)
 
+  def soundexIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "soundex", 6,
+      PhoneticAnalyzer("Soundex", inject = true), divisor = 17)
+
   /** Hunspell dictionary gate: a user `.aff`/`.dic` asset whose SFX E rule
     * unmunches merge/table/value back to their dictionary stems; every other
     * corpus word passes through (no stems → original token). */
@@ -1206,6 +1210,12 @@ object SparkEntry {
       topk(FlexibleParser.search(
         Seq(Indexes.titleIndex(s, dir) -> 2.0, Indexes.documentsIndex(s, dir) -> 1.0),
         "+spark data", SimpleAnalyzer), 10)
+    }),
+    "q144_soundex_inject" -> ((s, dir) => {
+      // generic PhoneticFilter inject mode: every token carries its Soundex
+      // code at the same position; search on the code side (S162 = spark)
+      topk(new Searcher(Indexes.soundexIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(TermQuery("S162")), 10)
     }),
     "q143_double_metaphone" -> ((s, dir) => {
       // DoubleMetaphone replace mode: every token becomes its primary code
@@ -2958,6 +2968,45 @@ object SparkEntry {
       "line" -> "lin", "merge" -> "merg", "stream" -> "stre",
       "table" -> "tabl", "value" -> "valu"),
       "valu", divisor = 13),
+
+    // Soundex inject mode: every token contributes its code AND itself;
+    // doclen counts both (the engine's uniform norm model)
+    "q144_soundex_inject" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+         |  FROM documents WHERE doc_id % 17 = 6
+         |), toks AS (
+         |  SELECT doc_id, term FROM raw WHERE term <> ''
+         |  UNION ALL
+         |  SELECT doc_id, CASE term
+         |    WHEN 'a' THEN 'A000' WHEN 'agg' THEN 'A200' WHEN 'batch' THEN 'B320'
+         |    WHEN 'big' THEN 'B200' WHEN 'column' THEN 'C450'
+         |    WHEN 'customer' THEN 'C235' WHEN 'data' THEN 'D300'
+         |    WHEN 'dup' THEN 'D100' WHEN 'fast' THEN 'F230'
+         |    WHEN 'filter' THEN 'F436' WHEN 'group' THEN 'G610'
+         |    WHEN 'hash' THEN 'H200' WHEN 'join' THEN 'J500'
+         |    WHEN 'key' THEN 'K000' WHEN 'line' THEN 'L500'
+         |    WHEN 'merge' THEN 'M620' WHEN 'order' THEN 'O636'
+         |    WHEN 'part' THEN 'P630' WHEN 'query' THEN 'Q600'
+         |    WHEN 'row' THEN 'R000' WHEN 'scan' THEN 'S500'
+         |    WHEN 'slow' THEN 'S400' WHEN 'small' THEN 'S540'
+         |    WHEN 'sort' THEN 'S630' WHEN 'spark' THEN 'S162'
+         |    WHEN 'stream' THEN 'S365' WHEN 'table' THEN 'T140'
+         |    WHEN 'the' THEN 'T000' WHEN 'value' THEN 'V400'
+         |    WHEN 'vector' THEN 'V236' WHEN 'window' THEN 'W530' END AS term
+         |  FROM raw WHERE term <> ''
+         |), quant(q) AS (
+         |  SELECT * FROM (VALUES $QuantValues)
+         |), dl0 AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), dl AS (
+         |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
+         |), stats AS (
+         |  SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (${termScoreSql("S162")}) scored
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
 
     // DoubleMetaphone replace mode: primary code per token plus the
     // alternate where it differs (commons-codec 4-char codes over the

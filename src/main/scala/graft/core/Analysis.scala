@@ -511,6 +511,11 @@ object Analyzers {
     case s if s.startsWith("double-metaphone:") => // double-metaphone:<len>:<inject>
       val Array(len, inj) = s.stripPrefix("double-metaphone:").split(':')
       DoubleMetaphoneAnalyzer(len.toInt, inj.toBoolean)
+    case s if s.startsWith("phonetic:") => // phonetic:<encoder>:<inject>:<len>
+      val Array(enc, inj, len) = s.stripPrefix("phonetic:").split(':')
+      PhoneticAnalyzer(enc, inj.toBoolean, len.toInt)
+    case s if s.startsWith("daitch-mokotoff:") =>
+      DaitchMokotoffAnalyzer(s.stripPrefix("daitch-mokotoff:").toBoolean)
     case s if s.startsWith("english-excl:") => // english-excl:<w1,w2,...>
       EnglishAnalyzer(stemExclusions = s.stripPrefix("english-excl:").split(',').toSet)
     case s if s.startsWith("payload-delim-") => // payload-delim-<char>

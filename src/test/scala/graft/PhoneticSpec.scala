@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{Analyzers, DoubleMetaphoneAnalyzer}
+import graft.core.{Analyzers, DaitchMokotoffAnalyzer, DoubleMetaphoneAnalyzer, PhoneticAnalyzer}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** DoubleMetaphone chain ([[DoubleMetaphoneAnalyzer]]): the reference's own
@@ -40,8 +40,41 @@ class PhoneticSpec extends AnyFunSuite {
     assert(terms(DoubleMetaphoneAnalyzer(8, inject = false), "12345") == Seq("12345"))
   }
 
+  test("generic PhoneticFilter: TestPhoneticFilter vectors (code first in inject)") {
+    val in = "aaa bbb ccc easgasg"
+    assert(terms(PhoneticAnalyzer("Metaphone"), in) ==
+      Seq("A", "aaa", "B", "bbb", "KKK", "ccc", "ESKS", "easgasg"))
+    assert(terms(PhoneticAnalyzer("Metaphone", inject = false), in) ==
+      Seq("A", "B", "KKK", "ESKS"))
+    assert(terms(PhoneticAnalyzer("DoubleMetaphone"), in) ==
+      Seq("A", "aaa", "PP", "bbb", "KK", "ccc", "ASKS", "easgasg"))
+    assert(terms(PhoneticAnalyzer("Soundex"), in) ==
+      Seq("A000", "aaa", "B000", "bbb", "C000", "ccc", "E220", "easgasg"))
+    assert(terms(PhoneticAnalyzer("Soundex", inject = false), in) ==
+      Seq("A000", "B000", "C000", "E220"))
+    assert(terms(PhoneticAnalyzer("RefinedSoundex"), in) ==
+      Seq("A0", "aaa", "B1", "bbb", "C3", "ccc", "E034034", "easgasg"))
+    // injected code shares the original's position
+    assert(withPos(PhoneticAnalyzer("Soundex"), "aaa bbb") ==
+      Seq(("A000", 0), ("aaa", 0), ("B000", 1), ("bbb", 1)))
+  }
+
+  test("DaitchMokotoff: branch fan-out (TestDaitchMokotoffSoundexFilter vectors)") {
+    val in = "aaa bbb ccc easgasg"
+    assert(terms(DaitchMokotoffAnalyzer(), in) ==
+      Seq("aaa", "000000", "bbb", "700000", "ccc", "400000", "450000",
+        "454000", "540000", "545000", "500000", "easgasg", "045450"))
+    assert(terms(DaitchMokotoffAnalyzer(inject = false), in) ==
+      Seq("000000", "700000", "400000", "450000", "454000", "540000",
+        "545000", "500000", "045450"))
+  }
+
   test("registry round-trip") {
     val a = DoubleMetaphoneAnalyzer(4, inject = false)
     assert(Analyzers.byName(a.name) == a)
+    val p = PhoneticAnalyzer("Soundex", inject = false)
+    assert(Analyzers.byName(p.name) == p)
+    val dm = DaitchMokotoffAnalyzer(inject = false)
+    assert(Analyzers.byName(dm.name) == dm)
   }
 }
