@@ -449,7 +449,22 @@ object Analyzers {
     "tambem", "teu", "teus", "toda", "todas", "todo", "todos", "tua",
     "tuas", "tudo", "um", "uma", "umas", "uns")
 
-  def byName(name: String): Analyzer = name match {
+  /** Dictionary-bearing analyzers (Hunspell, compound chains) register
+    * their INSTANCE here at construction so a same-process index reopen
+    * resolves the exact configuration; a cross-process reopen falls back to
+    * the name-prefix parse below (documented: the dictionary is a user
+    * asset that must be re-supplied, like the reference's .aff/.dic). */
+  private val dynamic = new java.util.concurrent.ConcurrentHashMap[String, Analyzer]()
+  private[core] val instanceIds = new java.util.concurrent.atomic.AtomicInteger()
+  private[core] def register(a: Analyzer): Unit = dynamic.put(a.name, a)
+
+  def byName(name: String): Analyzer = {
+    val dyn = dynamic.get(name)
+    if (dyn != null) return dyn
+    byNameStatic(name)
+  }
+
+  private def byNameStatic(name: String): Analyzer = name match {
     case "simple"         => SimpleAnalyzer
     case "standard"       => StandardLikeAnalyzer()
     case "simple-en-stop" => SimpleStopAnalyzer(EnglishStopWords)
@@ -508,6 +523,9 @@ object Analyzers {
       CommonGramsQueryAnalyzer(byName(rest.substring(0, sep)),
         rest.substring(sep + 1).split(',').toSet)
     case "hunspell"       => HunspellAnalyzer.empty // dictionary is a user asset
+    case s if s.startsWith("hunspell:") => HunspellAnalyzer.empty // cross-process: re-supply the dictionary
+    case s if s.startsWith("german-compound:") => GermanAnalyzer() // cross-process: re-supply the dictionary
+    case s if s.startsWith("dutch-compound:") => DutchAnalyzer() // cross-process: re-supply the dictionary
     case s if s.startsWith("double-metaphone:") => // double-metaphone:<len>:<inject>
       val Array(len, inj) = s.stripPrefix("double-metaphone:").split(':')
       DoubleMetaphoneAnalyzer(len.toInt, inj.toBoolean)
@@ -872,7 +890,10 @@ final case class GermanAnalyzer(
     stopWords: Set[String] = Analyzers.GermanStopWords,
     compound: Option[CompoundWordDictionary] = None)
     extends Analyzer {
-  override val name = "german"
+  override val name =
+    if (compound.isEmpty) "german"
+    else s"german-compound:${Analyzers.instanceIds.incrementAndGet()}"
+  if (compound.nonEmpty) Analyzers.register(this)
   override def tokenize(text: String): IndexedSeq[Token] = {
     val out = Vector.newBuilder[Token]
     tokenizeRaw(text, (src, s, e, pos) => out += Token(src.substring(s, e), pos))

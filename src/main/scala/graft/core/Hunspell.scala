@@ -171,7 +171,8 @@ object Hunspell {
   * contract as the compound-word dictionary chains). */
 final case class HunspellAnalyzer(dictionary: Hunspell.Dictionary,
                                   longestOnly: Boolean = false) extends Analyzer {
-  override val name = "hunspell"
+  override val name = s"hunspell:${Analyzers.instanceIds.incrementAndGet()}"
+  Analyzers.register(this)
   override def tokenize(text: String): IndexedSeq[Token] = {
     val out = Vector.newBuilder[Token]
     tokenizeRaw(text, (src, s, e, pos) => out += Token(src.substring(s, e), pos))
@@ -193,7 +194,9 @@ final case class HunspellAnalyzer(dictionary: Hunspell.Dictionary,
 }
 
 object HunspellAnalyzer {
-  /** The dictionary-less pass-through the registry resolves to. */
-  def empty: HunspellAnalyzer =
+  /** The dictionary-less pass-through the registry resolves to (a single
+    * shared instance — each construction would otherwise register a fresh
+    * dynamic-registry entry). */
+  lazy val empty: HunspellAnalyzer =
     HunspellAnalyzer(Hunspell.parse("", "0"))
 }

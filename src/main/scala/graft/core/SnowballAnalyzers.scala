@@ -154,7 +154,10 @@ final case class DutchAnalyzer(
     stemOverrides: Map[String, String] = SnowballAnalyzers.DutchStemOverrides,
     compound: Option[CompoundWordDictionary] = None)
     extends Analyzer {
-  override val name = "dutch"
+  override val name =
+    if (compound.isEmpty) "dutch"
+    else s"dutch-compound:${Analyzers.instanceIds.incrementAndGet()}"
+  if (compound.nonEmpty) Analyzers.register(this)
   override def tokenize(text: String): IndexedSeq[Token] = {
     val out = Vector.newBuilder[Token]
     tokenizeRaw(text, (src, s, e, pos) => out += Token(src.substring(s, e), pos))

@@ -45,6 +45,13 @@ object ThaiTokens {
     * (spaces, punctuation runs) are skipped without consuming a position —
     * the reference's `incrementWord` loop (`ThaiTokenizer.java:88-108`). */
   def segment(text: String, sink: (Int, Int) => Unit): Unit = {
+    // the reference throws at ThaiTokenizer construction when the JRE lacks
+    // the dictionary iterator (ThaiTokenizer.java:52-55); a silent grapheme
+    // fallback would mis-segment every Thai run. The object val initializes
+    // per JVM, so this checks the EXECUTING JVM, not the driver's.
+    if (!DbbiAvailable)
+      throw new UnsupportedOperationException(
+        "this JRE does not have support for Thai segmentation")
     if (text.isEmpty) return
     val sent = sentence.get()
     sent.setText(text)

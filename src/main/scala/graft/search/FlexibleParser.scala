@@ -100,6 +100,11 @@ object FlexibleParser {
       case (None, Some(s)) =>
         s.filter(col("scnt") >= math.max(msm, 1))
           .select(col("docId"), col("sscore").as("score"))
+      case (None, None) if filters.nonEmpty =>
+        // filter-only boolean: matching docs at score 0, the Searcher's own
+        // filter-only semantics (non-scoring clauses still select)
+        build(filters.head, searchers)
+          .select(col("docId"), lit(0.0).as("score"))
       case (None, None) => return searchers.head._1.scored(MatchNoDocsQuery)
     }
     filters.foreach { f =>

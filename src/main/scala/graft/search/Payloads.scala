@@ -45,21 +45,28 @@ object Payloads {
           .cast("float").as("payload"))
 
   /** `PayloadScoreQuery(SpanTermQuery(term), fn, FLOAT_DECODER,
-    * includeSpanScore)`: per-doc fn over the term's payloads; when
-    * `spanScore` is given (a Searcher over the same docs), the payload score
-    * multiplies the wrapped query's score, the includeSpanScore=true mode. */
+    * includeSpanScore)`: matching is SPAN-driven — every doc containing the
+    * term matches, and a doc whose occurrences all lack payloads scores the
+    * functions' zero-payload default of 1
+    * (`SumPayloadFunction.docScore:39` et al.). When `spanScore` is given
+    * (a Searcher frame over the same docs), the payload score multiplies the
+    * wrapped query's score, the includeSpanScore=true mode. */
   def payloadScore(payloads: DataFrame, term: String, fn: PayloadFunction,
                    spanScore: Option[DataFrame] = None): DataFrame = {
+    // count(payload) counts non-null payloads only; zero seen -> docScore 1
     val base = payloads
-      .filter(col("term") === lit(term) && col("payload").isNotNull)
+      .filter(col("term") === lit(term))
       .groupBy("docId")
-      .agg(fn.agg(col("payload")).cast("double").as("score"))
+      .agg(fn.agg(col("payload")).cast("double").as("raw"),
+        count(col("payload")).as("npay"))
+      .select(col("docId"),
+        when(col("npay") > 0, col("raw")).otherwise(lit(1.0)).as("pscore"))
     spanScore match {
-      case None => base
+      case None => base.withColumnRenamed("pscore", "score")
       case Some(wrapped) =>
-        base.withColumnRenamed("score", "pscore")
-          .join(wrapped, Seq("docId"))
-          .select(col("docId"), (col("pscore") * col("score")).as("score"))
+        wrapped.join(base, Seq("docId"), "left_outer")
+          .select(col("docId"),
+            (coalesce(col("pscore"), lit(1.0)) * col("score")).as("score"))
     }
   }
 }

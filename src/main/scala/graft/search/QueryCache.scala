@@ -111,31 +111,54 @@ final class LRUQueryCache(
     else boundKey == indexKey
   }
 
+  /** queries whose frames exceeded the size budget — never re-probed (the
+    * reference's large-segment skip never re-materializes either) */
+  private val tooLargeMemo = new java.util.HashSet[Query]()
+
   /** The docId frame of FILTER query `q`: served from cache when present;
     * otherwise computed via `compute`, and — once the policy has seen
     * enough uses and the frame fits the size budget — persisted into the
-    * cluster cache and retained LRU (evicted entries are unpersisted). */
-  def filterDocs(q: Query, compute: () => DataFrame): DataFrame = synchronized {
-    policy.onUse(q) // every use, hits included (reference ring-buffer contract)
-    val hit = entries.get(q)
-    if (hit != null) { hits += 1; return hit }
-    misses += 1
+    * cluster cache and retained LRU (evicted entries are unpersisted).
+    *
+    * The size-budget probe (persist + count) runs OUTSIDE the cache lock:
+    * it is a full Spark job, and holding the lock across it would serialize
+    * every unrelated cache hit behind one admission. An admission race is
+    * resolved on re-entry (the loser unpersists its frame and takes the
+    * winner's). An oversized result is memoized so a hot-but-wide filter is
+    * probed exactly once, never made more expensive by the cache. */
+  def filterDocs(q: Query, compute: () => DataFrame): DataFrame = {
+    val (hit, admit) = synchronized {
+      policy.onUse(q) // every use, hits included (reference ring-buffer contract)
+      val h = entries.get(q)
+      if (h != null) { hits += 1; (h, false) }
+      else {
+        misses += 1
+        (null, !tooLargeMemo.contains(q) && policy.shouldCache(q))
+      }
+    }
+    if (hit != null) return hit
     val frame = compute()
-    if (policy.shouldCache(q)) {
-      val persisted = frame.persist()
-      if (persisted.count() > maxFrameFraction * boundDocCount) {
+    if (!admit) return frame
+    val persisted = frame.persist()
+    val n = persisted.count() // materializes into the cluster cache, unlocked
+    synchronized {
+      val raced = entries.get(q)
+      if (raced != null) { persisted.unpersist(); return raced }
+      if (n > maxFrameFraction * boundDocCount) {
         persisted.unpersist()
         skippedLarge += 1
-        return frame
+        if (tooLargeMemo.size < 4096) tooLargeMemo.add(q)
+        frame
+      } else {
+        entries.put(q, persisted)
+        if (entries.size > maxEntries) {
+          val it = entries.entrySet().iterator()
+          val eldest = it.next()
+          eldest.getValue.unpersist()
+          it.remove()
+        }
+        persisted
       }
-      entries.put(q, persisted)
-      if (entries.size > maxEntries) {
-        val it = entries.entrySet().iterator()
-        val eldest = it.next()
-        eldest.getValue.unpersist()
-        it.remove()
-      }
-      persisted
-    } else frame
+    }
   }
 }

@@ -140,6 +140,22 @@ object Monitor {
         s"unsupported monitor rule: ${other.getClass.getSimpleName} cannot be percolated")
   }
 
+  /** Registration-time lowering: span rules become interval rules ONCE, so
+    * percolation never recomputes `Spans.toIntervals` per (rule, document)
+    * in the hot flatMap — the one rule shape whose evaluation structure was
+    * built per call instead of stored beside the rule. */
+  private def lowerSpans(q: Query): Query = q match {
+    case SpanQuery(s) => IntervalQuery(Spans.toIntervals(s))
+    case BooleanQuery(clauses, msm) =>
+      BooleanQuery(clauses.map { case (o, c) => (o, lowerSpans(c)) }, msm)
+    case BoostQuery(inner, b) => BoostQuery(lowerSpans(inner), b)
+    case ConstantScoreQuery(inner) => ConstantScoreQuery(lowerSpans(inner))
+    case other => other
+  }
+
+  private[graft] def lowerAll(queries: Seq[(String, Query)]): Seq[(String, Query)] =
+    queries.map { case (qid, q) => (qid, lowerSpans(q)) }
+
   private def validateAll(queries: Seq[(String, Query)]): Unit =
     queries.foreach { case (qid, q) =>
       try validate(q)
@@ -197,18 +213,19 @@ object Monitor {
   def percolatePresearched(docs: Dataset[(Long, String)], queries: Seq[(String, Query)],
                            analyzer: Analyzer): DataFrame = {
     validateAll(queries)
+    val lowered = lowerAll(queries)
     val spark = docs.sparkSession
     import spark.implicits._
     val guarded = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
     val unguarded = scala.collection.mutable.ArrayBuffer.empty[Int]
-    queries.zipWithIndex.foreach { case ((_, q), i) =>
+    lowered.zipWithIndex.foreach { case ((_, q), i) =>
       guardTerms(q) match {
         case Some(g) if g.nonEmpty => g.foreach(t => guarded.getOrElseUpdate(t, scala.collection.mutable.ArrayBuffer.empty) += i)
         case _ => unguarded += i
       }
     }
     val bc = spark.sparkContext.broadcast(
-      (queries.toIndexedSeq, guarded.view.mapValues(_.toArray).toMap, unguarded.toArray, analyzer))
+      (lowered.toIndexedSeq, guarded.view.mapValues(_.toArray).toMap, unguarded.toArray, analyzer))
     docs.flatMap { case (id, text) =>
       val (qs, byTerm, always, an) = bc.value
       val view = new DocView(an.tokenize(text))
@@ -237,9 +254,10 @@ object Monitor {
   def percolate(docs: Dataset[(Long, String)], queries: Seq[(String, Query)],
                 analyzer: Analyzer): DataFrame = {
     validateAll(queries)
+    val lowered = lowerAll(queries)
     val spark = docs.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast((queries, analyzer))
+    val bc = spark.sparkContext.broadcast((lowered, analyzer))
     docs.flatMap { case (id, text) =>
       val (qs, an) = bc.value
       val view = new DocView(an.tokenize(text))

@@ -17,7 +17,8 @@ class PayloadsSpec extends AnyFunSuite {
     (0L, "apple|2.0 banana|1.0 apple|5.0"),
     (1L, "apple|3.5 cherry|4.0"),
     (2L, "banana|7.0 banana"), // second banana has no payload
-    (3L, "cherry|0.5"))
+    (3L, "cherry|0.5"),
+    (4L, "banana plain")) // NO payloads at all: still a span match, score 1
 
   private lazy val payloads =
     Payloads.build(corpus.toDF("docId", "text")).cache()
@@ -41,8 +42,13 @@ class PayloadsSpec extends AnyFunSuite {
     assert(scores("apple", Payloads.MinPayload) == Map(0L -> 2.0, 1L -> 3.5))
     assert(scores("apple", Payloads.MaxPayload) == Map(0L -> 5.0, 1L -> 3.5))
     // doc 2's payload-less banana position contributes nothing (absent
-    // payloads skip the function, like the reference's null payload check)
-    assert(scores("banana", Payloads.SumPayload) == Map(0L -> 1.0, 2L -> 7.0))
+    // payloads skip the function, like the reference's null payload check);
+    // doc 4 has NO payloads anywhere yet still matches, at the functions'
+    // zero-payload docScore of 1 (SumPayloadFunction.docScore:39)
+    assert(scores("banana", Payloads.SumPayload) ==
+      Map(0L -> 1.0, 2L -> 7.0, 4L -> 1.0))
+    assert(scores("banana", Payloads.AvgPayload) ==
+      Map(0L -> 1.0, 2L -> 7.0, 4L -> 1.0))
   }
 
   test("includeSpanScore multiplies the wrapped query's score") {

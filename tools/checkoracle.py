@@ -38,9 +38,11 @@ def main():
     # which is transiently tiny right after the Spark JVM exits — the cause of
     # spurious "Out of Memory Error" on the last few oracles when chained
     # 8GB covers sf0.01 (the driver gate scale); q88's recursive closure at
-    # sf0.1 needs ~10-40GB, so take what the box offers up to 40GB
-    avail_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_AVPHYS_PAGES") // (1 << 30)
-    con.execute(f"SET memory_limit='{max(8, min(40, int(avail_gb * 0.6)))}GB'")
+    # sf0.1 needs ~10-40GB. Size from TOTAL RAM, not available: available
+    # memory is transiently tiny right after the Spark JVM exits (the exact
+    # pathology the explicit limit exists to avoid).
+    total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") // (1 << 30)
+    con.execute(f"SET memory_limit='{max(8, min(40, int(total_gb * 0.35)))}GB'")
     load_tables(con, sf_dir)
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     first = True
