@@ -1211,6 +1211,12 @@ object SparkEntry {
         Seq(Indexes.titleIndex(s, dir) -> 2.0, Indexes.documentsIndex(s, dir) -> 1.0),
         "+spark data", SimpleAnalyzer), 10)
     }),
+    "q145_simple_parser" -> ((s, dir) => {
+      // simple end-user syntax: "spark + -dup" = MUST(spark) AND the
+      // negated branch (MUST_NOT dup, SHOULD match-all at score 1)
+      topk(Indexes.searcher(s, dir)
+        .scored(SimpleParser.parse("spark + -dup", SimpleAnalyzer)), 10)
+    }),
     "q144_soundex_inject" -> ((s, dir) => {
       // generic PhoneticFilter inject mode: every token carries its Soundex
       // code at the same position; search on the code side (S162 = spark)
@@ -2968,6 +2974,15 @@ object SparkEntry {
       "line" -> "lin", "merge" -> "merg", "stream" -> "stre",
       "table" -> "tabl", "value" -> "valu"),
       "valu", divisor = 13),
+
+    // simple parser "spark + -dup": bm25(spark) + 1 (the match-all branch's
+    // constant) over docs without dup
+    "q145_simple_parser" ->
+      s"""$CTE
+         |SELECT doc_id, round(score + 1.0, 6) AS score
+         |FROM (${termScoreSql("spark")}) scored
+         |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup')
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
 
     // Soundex inject mode: every token contributes its code AND itself;
     // doclen counts both (the engine's uniform norm model)
