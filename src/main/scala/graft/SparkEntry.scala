@@ -331,6 +331,25 @@ object Indexes {
         "SET UTF-8\nSFX E Y 1\nSFX E 0 e .\n",
         "4\nmerg/E\ntabl/E\nvalu/E\nspark\n")), divisor = 13)
 
+  /** WordDelimiterGraph gate: every doc's text dash-joined into ONE token,
+    * split back into its word parts by the filter — the parts reconstruct
+    * the original token stream exactly (same terms, same positions), so
+    * the plain-tokenization oracle applies. */
+  def wordDelimiterIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    cache.getOrElseUpdate(sfDir + "#wdgf", {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-index-wdgf-").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 17 === 7)
+        .select(col("doc_id").as("docId"),
+          translate(col("text"), " ", "-").as("text"))
+        .as[InputDoc]
+      IndexBuilder.build(docs, dir, IndexConfig(
+        WordDelimiterGraphAnalyzer(PatternAnalyzer("[ \\t\\n\\r]+"),
+          WordDelimiter.GENERATE_WORD_PARTS),
+        withPositions = true))
+    })
+
   def englishExclusionIndex(spark: SparkSession, sfDir: String): InvertedIndex =
     snowballShard(spark, sfDir, "en-excl", 2,
       EnglishAnalyzer(stemExclusions = Set("merge", "query")), divisor = 13)
@@ -1210,6 +1229,13 @@ object SparkEntry {
       topk(FlexibleParser.search(
         Seq(Indexes.titleIndex(s, dir) -> 2.0, Indexes.documentsIndex(s, dir) -> 1.0),
         "+spark data", SimpleAnalyzer), 10)
+    }),
+    "q146_word_delimiter" -> ((s, dir) => {
+      // WDGF parts of the dash-joined doc ≡ the original token stream:
+      // a PHRASE across reconstructed part positions proves both the
+      // splitting and the graph's position advancement
+      topk(new Searcher(Indexes.wordDelimiterIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(PhraseQuery(Seq("the", "spark"))), 10)
     }),
     "q145_simple_parser" -> ((s, dir) => {
       // simple end-user syntax: "spark + -dup" = MUST(spark) AND the
@@ -2974,6 +3000,30 @@ object SparkEntry {
       "line" -> "lin", "merge" -> "merg", "stream" -> "stre",
       "table" -> "tabl", "value" -> "valu"),
       "valu", divisor = 13),
+
+    // WDGF parts of the dash-joined text reconstruct the original stream
+    // exactly, so the oracle is the plain shard tokenization (phrase over
+    // reconstructed positions)
+    "q146_word_delimiter" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+         |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+         |  FROM documents WHERE doc_id % 17 = 7
+         |), toks AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+         |  FROM raw WHERE term <> ''
+         |), quant(q) AS (
+         |  SELECT * FROM (VALUES $QuantValues)
+         |), dl0 AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), dl AS (
+         |  SELECT doc_id, dl, (SELECT max(q) FROM quant WHERE q <= dl0.dl) AS dlq FROM dl0
+         |), stats AS (
+         |  SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+         |)
+         |SELECT doc_id, round(score, 6) AS score FROM (${phraseScoreSql("the", "spark")}) scored
+         |ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin,
 
     // simple parser "spark + -dup": bm25(spark) + 1 (the match-all branch's
     // constant) over docs without dup

@@ -534,6 +534,11 @@ object Analyzers {
       PhoneticAnalyzer(enc, inj.toBoolean, len.toInt)
     case s if s.startsWith("daitch-mokotoff:") =>
       DaitchMokotoffAnalyzer(s.stripPrefix("daitch-mokotoff:").toBoolean)
+    case s if s.startsWith("word-delimiter:") => // word-delimiter:<flags>:<inner>
+      val rest = s.stripPrefix("word-delimiter:")
+      val sep = rest.indexOf(':')
+      WordDelimiterGraphAnalyzer(byName(rest.substring(sep + 1)),
+        rest.substring(0, sep).toInt)
     case s if s.startsWith("english-excl:") => // english-excl:<w1,w2,...>
       EnglishAnalyzer(stemExclusions = s.stripPrefix("english-excl:").split(',').toSet)
     case s if s.startsWith("payload-delim-") => // payload-delim-<char>
