@@ -322,6 +322,12 @@ object Indexes {
     snowballShard(spark, sfDir, "soundex", 6,
       PhoneticAnalyzer("Soundex", inject = true), divisor = 17)
 
+  /** Reversed side index: `*suffix` queries become PREFIX scans of the
+    * reversed dictionary — dictionary-pruned instead of a full term scan. */
+  def reversedIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    snowballShard(spark, sfDir, "reversed", 8,
+      ReverseStringAnalyzer(SimpleAnalyzer), divisor = 17)
+
   /** Hunspell dictionary gate: a user `.aff`/`.dic` asset whose SFX E rule
     * unmunches merge/table/value back to their dictionary stems; every other
     * corpus word passes through (no stems → original token). */
@@ -1229,6 +1235,12 @@ object SparkEntry {
       topk(FlexibleParser.search(
         Seq(Indexes.titleIndex(s, dir) -> 2.0, Indexes.documentsIndex(s, dir) -> 1.0),
         "+spark data", SimpleAnalyzer), 10)
+    }),
+    "q147_leading_wildcard" -> ((s, dir) => {
+      // *eam (leading wildcard) = prefix "mae" on the reversed side index;
+      // a dictionary-pruned prefix scan instead of a full-vocabulary walk
+      docSet(new Searcher(Indexes.reversedIndex(s, dir), ScoringMode.PreciseBM25())
+        .scored(PrefixQuery("eam".reverse)))
     }),
     "q146_word_delimiter" -> ((s, dir) => {
       // WDGF parts of the dash-joined doc ≡ the original token stream:
@@ -3000,6 +3012,15 @@ object SparkEntry {
       "line" -> "lin", "merge" -> "merg", "stream" -> "stre",
       "table" -> "tabl", "value" -> "valu"),
       "valu", divisor = 13),
+
+    // leading wildcard via the reversed index ≡ LIKE '%eam' on raw terms
+    "q147_leading_wildcard" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+         |  FROM documents WHERE doc_id % 17 = 8
+         |)
+         |SELECT DISTINCT doc_id FROM raw WHERE term LIKE '%eam' ORDER BY doc_id""".stripMargin,
 
     // WDGF parts of the dash-joined text reconstruct the original stream
     // exactly, so the oracle is the plain shard tokenization (phrase over

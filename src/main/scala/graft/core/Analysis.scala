@@ -534,6 +534,8 @@ object Analyzers {
       PhoneticAnalyzer(enc, inj.toBoolean, len.toInt)
     case s if s.startsWith("daitch-mokotoff:") =>
       DaitchMokotoffAnalyzer(s.stripPrefix("daitch-mokotoff:").toBoolean)
+    case s if s.startsWith("reverse:") =>
+      ReverseStringAnalyzer(byName(s.stripPrefix("reverse:")))
     case s if s.startsWith("word-delimiter:") => // word-delimiter:<flags>:<inner>
       val rest = s.stripPrefix("word-delimiter:")
       val sep = rest.indexOf(':')

@@ -151,3 +151,25 @@ final case class DelimitedPayloadAnalyzer(delimiter: Char = '|')
     }
   }
 }
+
+
+/** ReverseStringFilter analog
+  * (`lucene/analysis/common/src/java/org/apache/lucene/analysis/reverse/ReverseStringFilter.java:35`):
+  * every token reversed. Its purpose is the classic leading-wildcard trick —
+  * a reversed side index turns `*suffix` into an efficient PREFIX scan of
+  * the reversed dictionary (`Searcher.scored(PrefixQuery(suffix.reverse))`),
+  * and because reversal is a bijection on terms, df/tf/doclen — and
+  * therefore every score — match the forward index exactly. */
+final case class ReverseStringAnalyzer(inner: Analyzer) extends Analyzer {
+  override val name = s"reverse:${inner.name}"
+  override def tokenize(text: String): IndexedSeq[Token] = {
+    val out = Vector.newBuilder[Token]
+    tokenizeRaw(text, (src, s, e, pos) => out += Token(src.substring(s, e), pos))
+    out.result()
+  }
+  override def tokenizeRaw(text: String, sink: TokenSink): Unit =
+    inner.tokenize(text).foreach { t =>
+      val r = t.term.reverse
+      sink.accept(r, 0, r.length, t.position)
+    }
+}

@@ -55,7 +55,22 @@ object PlanAudit {
     // partition pruning: the data dir is partitioned by kind; a postings read
     // must only list kind=1 directories
     val scan = idx.postings.filter($"term" === "hw0").queryExecution.executedPlan.toString
-    println("  kind partition filter present: " + scan.contains("PartitionFilters: [isnotnull(kind"))
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(scan).toSeq.distinct
+    if (pf.isEmpty) println("  NO PartitionFilters line in the term-scan plan")
+    else pf.foreach(p => println("  " + p.take(180)))
+
+    // payload side table: once persisted as parquet (the deployment shape),
+    // a PayloadScoreQuery is a PUSHED term filter + one partial aggregation —
+    // no full-table scan at 100 TB
+    val payDir = java.nio.file.Files.createTempDirectory("graft-audit-pay-").toString
+    graft.search.Payloads.build(
+        docs.toDF().select($"docId", org.apache.spark.sql.functions.concat_ws("|",
+          $"text", org.apache.spark.sql.functions.lit("1.0")).as("text")))
+      .write.mode("overwrite").parquet(payDir)
+    val payTable = spark.read.parquet(payDir)
+    audit("payload score (persisted side table)",
+      graft.search.Payloads.payloadScore(payTable, "hw0", graft.search.Payloads.SumPayload),
+      Seq("EqualTo(term,hw0)", "HashAggregate"))
     spark.stop()
   }
 }

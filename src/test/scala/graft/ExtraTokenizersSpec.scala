@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{Analyzers, CommonGramsAnalyzer, CommonGramsQueryAnalyzer, EnglishAnalyzer, PatternAnalyzer, SimpleAnalyzer}
+import graft.core.{Analyzers, CommonGramsAnalyzer, CommonGramsQueryAnalyzer, EnglishAnalyzer, PatternAnalyzer, ReverseStringAnalyzer, SimpleAnalyzer}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Reference-vector parity for the CommonGrams and PatternTokenizer analogs
@@ -43,6 +43,30 @@ class ExtraTokenizersSpec extends AnyFunSuite {
     // single token passes through; no-common text is unchanged
     assert(terms(a, "fox") == Seq("fox"))
     assert(terms(a, "quick brown fox") == Seq("quick", "brown", "fox"))
+  }
+
+  test("ReverseString: reversal, positions kept; leading wildcard ≡ suffix match") {
+    val a = ReverseStringAnalyzer(SimpleAnalyzer)
+    assert(withPos(a, "stream the dream") ==
+      Seq(("maerts", 0), ("eht", 1), ("maerd", 2)))
+    // the leading-wildcard contract on a real index: *eam via reversed
+    // prefix == forward regexp .*eam
+    val s = new graft.search.Searcher(SparkTestEnv.index,
+      graft.search.ScoringMode.PreciseBM25())
+    val forward = s.scored(graft.search.RegexpQuery(".*eam"))
+      .collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-rev-").toString
+    val spark = SparkTestEnv.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${SparkTestEnv.sfDir}/documents.parquet")
+      .select(col("doc_id").as("docId"), col("text")).as[graft.index.InputDoc]
+    val rev = graft.index.IndexBuilder.build(docs, dir,
+      graft.index.IndexConfig(ReverseStringAnalyzer(SimpleAnalyzer)))
+    val viaReversed = new graft.search.Searcher(rev, graft.search.ScoringMode.PreciseBM25())
+      .scored(graft.search.PrefixQuery("mae"))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaReversed == forward && viaReversed.nonEmpty)
   }
 
   test("English stem exclusions (SetKeywordMarkerFilter): excluded words skip Porter") {
